@@ -1,0 +1,79 @@
+"""Hamming distance between 256-bit ORB descriptors as an MXU GEMM.
+
+Rebuild of the reference's per-pair bit-hack popcount
+(reference: openvslam/match_base.h:18-39 ``compute_descriptor_distance_32``)
+as a *full-matrix* operation: with descriptors unpacked to ±1 int8 vectors,
+
+    hamming(a, b) = (256 - <a_pm1, b_pm1>) / 2
+
+so an entire N x M distance matrix is one int8 matmul on the MXU — this
+replaces both the scalar distance function and the BoW-bucket iteration
+pattern (keyframe_matcher.cpp) whose purpose on CPU was to avoid exactly this
+O(N*M) scan. On TPU the dense scan *is* the fast path.
+
+A ``population_count``-based path is kept as the independent reference for
+tests and for tiny host-side queries.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+HAMMING_DIST_THR_LOW = 50    # reference: match_base.h:13
+HAMMING_DIST_THR_HIGH = 100  # reference: match_base.h:14
+MAX_HAMMING_DIST = 256       # reference: match_base.h:15
+
+
+def unpack_bits_pm1(desc: jnp.ndarray) -> jnp.ndarray:
+    """(N, 8) uint32 -> (N, 256) int8 in {-1, +1} (bit LSB-first per word)."""
+    n = desc.shape[0]
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (desc[:, :, None] >> shifts[None, None, :]) & jnp.uint32(1)
+    pm1 = (bits.astype(jnp.int8) * 2 - 1)
+    return pm1.reshape(n, 256)
+
+
+@jax.jit
+def hamming_matrix(desc1: jnp.ndarray, desc2: jnp.ndarray) -> jnp.ndarray:
+    """(N, 8) x (M, 8) uint32 descriptors -> (N, M) int32 Hamming distances."""
+    a = unpack_bits_pm1(desc1)
+    b = unpack_bits_pm1(desc2)
+    dot = jax.lax.dot_general(
+        a, b,
+        dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.int32)
+    return (256 - dot) // 2
+
+
+@jax.jit
+def hamming_matrix_popcount(desc1: jnp.ndarray, desc2: jnp.ndarray) -> jnp.ndarray:
+    """Reference path: XOR + population_count (exact same results)."""
+    x = desc1[:, None, :] ^ desc2[None, :, :]
+    return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
+
+
+def hamming_distance(d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
+    """Host-side scalar/vector Hamming distance (NumPy popcount)."""
+    d1 = np.asarray(d1, dtype=np.uint32)
+    d2 = np.asarray(d2, dtype=np.uint32)
+    x = (d1 ^ d2).view(np.uint8)
+    return np.unpackbits(x, axis=-1).sum(axis=-1, dtype=np.int32)
+
+
+@functools.lru_cache(maxsize=1)
+def _popcount_table() -> np.ndarray:
+    return np.unpackbits(np.arange(256, dtype=np.uint8)[:, None], axis=1).sum(1).astype(np.int32)
+
+
+def hamming_matrix_host(desc1: np.ndarray, desc2: np.ndarray) -> np.ndarray:
+    """Host NumPy N x M distance matrix (for small problems / tests)."""
+    a = np.asarray(desc1, np.uint32).view(np.uint8).reshape(len(desc1), 32)
+    b = np.asarray(desc2, np.uint32).view(np.uint8).reshape(len(desc2), 32)
+    t = _popcount_table()
+    out = np.zeros((len(a), len(b)), dtype=np.int32)
+    for k in range(32):
+        out += t[(a[:, None, k] ^ b[None, :, k])]
+    return out

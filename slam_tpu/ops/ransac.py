@@ -1,0 +1,307 @@
+"""Many-hypothesis RANSAC on TPU: Sim3 / planar-rotation Horn and essential 8-point.
+
+Rebuild of the reference's sequential RANSAC loops as vmapped batch solves:
+
+  - ``compute_sim3`` / ``compute_rot_z``: closed-form Horn absolute
+    orientation (reference: loop_ransac.cpp:112-196, 277-312) — all K
+    hypotheses are solved at once (batched 4x4 eigendecomposition / scalar
+    closed form) and all inliers counted with one batched reprojection, then
+    argmax picks the winner (replaces the loop at loop_ransac.cpp:67-105);
+  - essential 8-point (reference: openvslam/essential_solver.cc:11-118):
+    nullspace via eigendecomposition of A^T A, rank-2 projection via batched
+    3x3 SVD, symmetric epipolar-cosine scoring (essential_solver.cc:164-215).
+
+Sampling uses ``jax.random`` with caller-provided seeds: deterministic by
+construction, mirroring the reference's fixed-seed MT19937 reproducibility
+guarantee (openvslam/random_array.cc:21).
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.ops import camera_jax
+
+# ---------------------------------------------------------------------------
+# Closed-form solvers (single-hypothesis, jnp; host-callable with numpy too)
+# ---------------------------------------------------------------------------
+
+
+def compute_sim3(pts_1, pts_2):
+    """Horn closed-form absolute orientation with scale.
+
+    pts_1, pts_2: (3, 3) matrices whose COLUMNS are corresponding points
+    (matching the reference's layout, loop_ransac.cpp:112-196). Returns
+    (rot_21, trans_21, scale_21) with p2 = s * R @ p1 + t.
+    """
+    pts_1 = jnp.asarray(pts_1)
+    pts_2 = jnp.asarray(pts_2)
+    c1 = jnp.mean(pts_1, axis=1)
+    c2 = jnp.mean(pts_2, axis=1)
+    a1 = pts_1 - c1[:, None]
+    a2 = pts_2 - c2[:, None]
+    M = a1 @ a2.T
+    sxx, sxy, sxz = M[0, 0], M[0, 1], M[0, 2]
+    syx, syy, syz = M[1, 0], M[1, 1], M[1, 2]
+    szx, szy, szz = M[2, 0], M[2, 1], M[2, 2]
+    N = jnp.array([
+        [sxx + syy + szz, syz - szy, szx - sxz, sxy - syx],
+        [syz - szy, sxx - syy - szz, sxy + syx, szx + sxz],
+        [szx - sxz, sxy + syx, -sxx + syy - szz, syz + szy],
+        [sxy - syx, szx + sxz, syz + szy, -sxx - syy + szz],
+    ])
+    # N is symmetric: the unit quaternion maximizing the form is the
+    # eigenvector of the largest eigenvalue (eigh returns ascending order).
+    _, vecs = jnp.linalg.eigh(N)
+    q = vecs[:, -1]  # (w, x, y, z)
+    qw, qx, qy, qz = q[0], q[1], q[2], q[3]
+    R = jnp.array([
+        [1 - 2 * (qy * qy + qz * qz), 2 * (qx * qy - qz * qw), 2 * (qx * qz + qy * qw)],
+        [2 * (qx * qy + qz * qw), 1 - 2 * (qx * qx + qz * qz), 2 * (qy * qz - qx * qw)],
+        [2 * (qx * qz - qy * qw), 2 * (qy * qz + qx * qw), 1 - 2 * (qx * qx + qy * qy)],
+    ])
+    a1_in_2 = R @ a1
+    denom = jnp.sum(a1 * a1)
+    numer = jnp.sum(a2 * a1_in_2)
+    s = numer / denom
+    t = c2 - s * (R @ c1)
+    return R, t, s
+
+
+def compute_rot_z(pts_1, pts_2):
+    """Planar (yaw-only) Horn variant (reference: loop_ransac.cpp:277-312)."""
+    pts_1 = jnp.asarray(pts_1)
+    pts_2 = jnp.asarray(pts_2)
+    c1 = jnp.mean(pts_1, axis=1)
+    c2 = jnp.mean(pts_2, axis=1)
+    a1 = pts_1 - c1[:, None]
+    a2 = pts_2 - c2[:, None]
+    C = jnp.sum(a1[:2] * a2[:2])
+    S = jnp.sum(a1[0] * a2[1] - a1[1] * a2[0])
+    norm = jnp.sqrt(C * C + S * S)
+    ct = C / norm
+    st = S / norm
+    R = jnp.array([[ct, -st, 0.0], [st, ct, 0.0], [0.0, 0.0, 1.0]])
+    s = jnp.sum(a2 * (R @ a1)) / jnp.sum(a1 * a1)
+    t = c2 - s * (R @ c1)
+    return R, t, s
+
+
+# ---------------------------------------------------------------------------
+# Sim3 RANSAC (LoopRansac equivalent)
+# ---------------------------------------------------------------------------
+
+
+class Sim3RansacResult(NamedTuple):
+    ok: bool
+    rot_12: np.ndarray
+    trans_12: np.ndarray
+    scale_12: float
+    inliers: np.ndarray          # (N,) bool over match list
+    num_inliers: int
+
+
+@functools.partial(jax.jit, static_argnames=("kind1", "kind2", "dof", "fix_scale", "iterations"))
+def _sim3_ransac_impl(seed, pts1, pts2, valid, repro1, repro2, vis1, vis2,
+                      chi1, chi2, params1, params2,
+                      kind1, kind2, dof, fix_scale, iterations):
+    n = pts1.shape[0]
+    key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(key, iterations)
+
+    def sample(k):
+        # 3 distinct indices among the valid matches: sample by perturbed
+        # uniform over valid slots (weights 0 for padding)
+        p = valid.astype(jnp.float32)
+        return jax.random.choice(k, n, shape=(3,), replace=False, p=p / jnp.sum(p))
+
+    idx = jax.vmap(sample)(keys)                     # (K, 3)
+    s1 = pts1[idx].transpose(0, 2, 1)                # (K, 3, 3) columns = points
+    s2 = pts2[idx].transpose(0, 2, 1)
+
+    solver = compute_rot_z if dof == "ZROT" else compute_sim3
+    R21, t21, s21 = jax.vmap(solver)(s1, s2)         # (K,3,3), (K,3), (K,)
+    if fix_scale:
+        s21 = jnp.ones_like(s21)
+    s12 = 1.0 / s21
+    R12 = jnp.swapaxes(R21, 1, 2)
+    t12 = -s12[:, None] * jnp.einsum("kij,kj->ki", R12, t21)
+
+    # count inliers for every hypothesis: project pts1 into cam2 under
+    # (s21 R21, t21) and pts2 into cam1 under (s12 R12, t12)
+    # (reference: loop_ransac.cpp:198-254)
+    p1_in_2 = (jnp.einsum("kij,nj->kni", R21 * s21[:, None, None], pts1)
+               + t21[:, None, :])                   # (K, N, 3)
+    p2_in_1 = (jnp.einsum("kij,nj->kni", R12 * s12[:, None, None], pts2)
+               + t12[:, None, :])
+    proj1_in_2, v12 = camera_jax.project(kind2, params2, p1_in_2)
+    proj2_in_1, v21 = camera_jax.project(kind1, params1, p2_in_1)
+    err2 = jnp.sum((proj1_in_2 - repro2[None]) ** 2, axis=-1)  # (K, N)
+    err1 = jnp.sum((proj2_in_1 - repro1[None]) ** 2, axis=-1)
+    ok = (valid[None] & vis1[None] & vis2[None] & v12 & v21
+          & (err2 < chi2[None]) & (err1 < chi1[None]))
+    counts = jnp.sum(ok, axis=1)                     # (K,)
+    best = jnp.argmax(counts)
+    return (counts[best], R12[best], t12[best], s12[best], ok[best])
+
+
+class Sim3Ransac:
+    """Equivalent of the reference ``LoopRansac`` (loop_ransac.hpp:27-109).
+
+    Construct with camera-frame 3D correspondences; ``solve`` evaluates all
+    hypotheses in parallel on device.
+    """
+
+    CHI_SQ_2D = 9.21034  # p=0.01, loop_ransac.cpp:28
+
+    def __init__(self, camera1, camera2, pts1_cam, pts2_cam,
+                 sigma_sq1, sigma_sq2):
+        self.n = len(pts1_cam)
+        self.kind1, self.params1 = camera_jax.pack_camera(camera1)
+        self.kind2, self.params2 = camera_jax.pack_camera(camera2)
+        self.pts1 = np.asarray(pts1_cam, np.float32)
+        self.pts2 = np.asarray(pts2_cam, np.float32)
+        self.chi1 = (self.CHI_SQ_2D * np.asarray(sigma_sq1)).astype(np.float32)
+        self.chi2 = (self.CHI_SQ_2D * np.asarray(sigma_sq2)).astype(np.float32)
+        # projections of each point into its own camera (loop_ransac.cpp:43-44)
+        r1, v1 = camera1.ray_to_pixel(self.pts1)
+        v1 &= camera1.is_valid_pixel(r1)
+        r2, v2 = camera2.ray_to_pixel(self.pts2)
+        v2 &= camera2.is_valid_pixel(r2)
+        self.repro1 = np.nan_to_num(r1).astype(np.float32)
+        self.repro2 = np.nan_to_num(r2).astype(np.float32)
+        self.vis1 = v1
+        self.vis2 = v2
+
+    def solve(self, iterations: int, dof: str = "SIM3", fix_scale: bool = False,
+              min_inliers: int = 20, seed: int = 94235682) -> Sim3RansacResult:
+        if self.n < 3 or self.n < min_inliers:
+            return Sim3RansacResult(False, np.eye(3), np.zeros(3), 1.0,
+                                    np.zeros(self.n, bool), 0)
+        count, R12, t12, s12, inl = jax.device_get(_sim3_ransac_impl(
+            np.uint32(seed), jnp.asarray(self.pts1), jnp.asarray(self.pts2),
+            jnp.ones(self.n, bool), jnp.asarray(self.repro1), jnp.asarray(self.repro2),
+            jnp.asarray(self.vis1), jnp.asarray(self.vis2),
+            jnp.asarray(self.chi1), jnp.asarray(self.chi2),
+            jnp.asarray(self.params1), jnp.asarray(self.params2),
+            self.kind1, self.kind2, dof, bool(fix_scale), int(iterations)))
+        ok = int(count) >= min_inliers
+        return Sim3RansacResult(ok, np.asarray(R12, np.float64), np.asarray(t12, np.float64),
+                                float(s12), np.asarray(inl), int(count))
+
+
+# ---------------------------------------------------------------------------
+# Essential matrix: 8-point solver + RANSAC
+# ---------------------------------------------------------------------------
+
+
+def compute_E_8pt(b1, b2):
+    """Essential matrix from >= 8 bearing pairs (reference:
+    essential_solver.cc:87-118): nullspace of the stacked constraint matrix,
+    then rank-2 projection."""
+    b1 = jnp.asarray(b1)
+    b2 = jnp.asarray(b2)
+    A = jnp.concatenate([
+        b2[:, 0:1] * b1, b2[:, 1:2] * b1, b2[:, 2:3] * b1], axis=1)  # (N, 9)
+    _, vecs = jnp.linalg.eigh(A.T @ A)
+    e = vecs[:, 0]
+    E_init = e.reshape(3, 3)
+    U, s, Vt = jnp.linalg.svd(E_init)
+    s = s.at[2].set(0.0)
+    return (U * s[None, :]) @ Vt
+
+
+def _essential_residuals(E_21, b1, b2):
+    """Symmetric epipolar cosine residuals (essential_solver.cc:164-215)."""
+    ep2 = b1 @ E_21.T                  # epiplane of each b1 in cam2  (N, 3)
+    r2 = jnp.abs(jnp.sum(ep2 * b2, axis=1)) / jnp.maximum(jnp.linalg.norm(ep2, axis=1), 1e-12)
+    ep1 = b2 @ E_21                    # E_12 = E_21^T
+    r1 = jnp.abs(jnp.sum(ep1 * b1, axis=1)) / jnp.maximum(jnp.linalg.norm(ep1, axis=1), 1e-12)
+    return r1, r2
+
+
+ESSENTIAL_RESIDUAL_COS_THR = 0.01745240643  # 1 degree, essential_solver.cc:174
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def _essential_ransac_impl(seed, b1, b2, valid, iterations):
+    n = b1.shape[0]
+    key = jax.random.PRNGKey(seed)
+    keys = jax.random.split(key, iterations)
+    p = valid.astype(jnp.float32)
+    p = p / jnp.sum(p)
+
+    def sample(k):
+        return jax.random.choice(k, n, shape=(8,), replace=False, p=p)
+
+    idx = jax.vmap(sample)(keys)                       # (K, 8)
+    Es = jax.vmap(compute_E_8pt)(b1[idx], b2[idx])     # (K, 3, 3)
+
+    def score(E):
+        r1, r2 = _essential_residuals(E, b1, b2)
+        inl = (r1 < ESSENTIAL_RESIDUAL_COS_THR) & (r2 < ESSENTIAL_RESIDUAL_COS_THR) & valid
+        sc = jnp.sum(jnp.where(inl, r1 + r2, 0.0))
+        return sc, inl
+
+    scores, inliers = jax.vmap(score)(Es)
+    best = jnp.argmax(scores)
+    return Es[best], scores[best], inliers[best]
+
+
+class EssentialRansacResult(NamedTuple):
+    ok: bool
+    E_21: np.ndarray
+    inliers: np.ndarray
+    score: float
+
+
+def essential_ransac(bearings_1: np.ndarray, bearings_2: np.ndarray,
+                     iterations: int = 100, seed: int = 94235682,
+                     recompute: bool = True) -> EssentialRansacResult:
+    """Find E_21 by RANSAC over bearing correspondences
+    (reference: essential_solver.cc:11-85)."""
+    n = len(bearings_1)
+    if n < 8:
+        return EssentialRansacResult(False, np.eye(3), np.zeros(n, bool), 0.0)
+    b1 = jnp.asarray(bearings_1, jnp.float32)
+    b2 = jnp.asarray(bearings_2, jnp.float32)
+    E, score, inl = jax.device_get(_essential_ransac_impl(
+        np.uint32(seed), b1, b2, jnp.ones(n, bool), int(iterations)))
+    num = int(inl.sum())
+    ok = (float(score) > 0.0) and num >= 8
+    if ok and recompute:
+        # final all-inlier refit in f64 on host: one 9x9 eigh + 3x3 SVD; the
+        # f32 device path is plenty for hypothesis scoring but the refined E
+        # benefits from the extra precision (essential_solver.cc:71-84)
+        s1 = np.asarray(bearings_1, np.float64)[inl]
+        s2 = np.asarray(bearings_2, np.float64)[inl]
+        A = np.concatenate([s2[:, 0:1] * s1, s2[:, 1:2] * s1, s2[:, 2:3] * s1], axis=1)
+        _, vecs = np.linalg.eigh(A.T @ A)
+        U, s, Vt = np.linalg.svd(vecs[:, 0].reshape(3, 3))
+        s[2] = 0.0
+        E = (U * s[None, :]) @ Vt
+        ep2 = np.asarray(bearings_1) @ E.T
+        r2 = np.abs(np.sum(ep2 * bearings_2, axis=1)) / np.maximum(np.linalg.norm(ep2, axis=1), 1e-12)
+        ep1 = np.asarray(bearings_2) @ E
+        r1 = np.abs(np.sum(ep1 * bearings_1, axis=1)) / np.maximum(np.linalg.norm(ep1, axis=1), 1e-12)
+        inl = (r1 < ESSENTIAL_RESIDUAL_COS_THR) & (r2 < ESSENTIAL_RESIDUAL_COS_THR)
+    return EssentialRansacResult(ok, np.asarray(E, np.float64), np.asarray(inl), float(score))
+
+
+def decompose_E(E_21: np.ndarray):
+    """E -> 4 candidate (R, t) pairs (reference: essential_solver.cc:120-147)."""
+    U, _, Vt = np.linalg.svd(E_21)
+    t = U[:, 2]
+    t = t / np.linalg.norm(t)
+    W = np.array([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]])
+    R1 = U @ W @ Vt
+    if np.linalg.det(R1) < 0:
+        R1 = -R1
+    R2 = U @ W.T @ Vt
+    if np.linalg.det(R2) < 0:
+        R2 = -R2
+    return [R1, R1, R2, R2], [t, -t, t, -t]

@@ -1,0 +1,171 @@
+"""Tests for the Hamming GEMM kernel and the matcher-suite semantics."""
+import numpy as np
+import jax.numpy as jnp
+
+from slam_tpu.ops import hamming, matching
+
+rng = np.random.default_rng(3)
+
+
+def random_desc(n):
+    return rng.integers(0, 2**32, size=(n, 8), dtype=np.uint32)
+
+
+class TestHamming:
+    def test_gemm_equals_popcount(self):
+        d1, d2 = random_desc(64), random_desc(48)
+        gemm = np.asarray(hamming.hamming_matrix(jnp.asarray(d1), jnp.asarray(d2)))
+        pop = np.asarray(hamming.hamming_matrix_popcount(jnp.asarray(d1), jnp.asarray(d2)))
+        host = hamming.hamming_matrix_host(d1, d2)
+        assert np.array_equal(gemm, pop)
+        assert np.array_equal(gemm, host)
+
+    def test_identical_is_zero_complement_is_256(self):
+        d = random_desc(5)
+        m = np.asarray(hamming.hamming_matrix(jnp.asarray(d), jnp.asarray(d)))
+        assert np.array_equal(np.diag(m), np.zeros(5))
+        inv = ~d
+        m2 = np.asarray(hamming.hamming_matrix(jnp.asarray(d), jnp.asarray(inv)))
+        assert np.array_equal(np.diag(m2), np.full(5, 256))
+
+    def test_known_single_bit(self):
+        a = np.zeros((1, 8), np.uint32)
+        b = np.zeros((1, 8), np.uint32)
+        b[0, 3] = 1 << 17
+        assert hamming.hamming_distance(a[0], b[0]) == 1
+        m = np.asarray(hamming.hamming_matrix(jnp.asarray(a), jnp.asarray(b)))
+        assert m[0, 0] == 1
+
+
+class TestAngleChecker:
+    def test_keeps_top3_bins(self):
+        # 40 matches at delta=0, 30 at delta=90, 20 at delta=180, 5 at delta=240
+        deltas = np.concatenate([np.zeros(40), np.full(30, 90.0),
+                                 np.full(20, 180.0), np.full(5, 240.0)])
+        valid = np.ones(len(deltas), bool)
+        bad = matching.angle_check_invalid(deltas, valid)
+        assert not bad[:90].any()      # top-3 bins survive
+        assert bad[90:].all()          # smallest bin rejected
+
+    def test_negative_angles_wrap(self):
+        deltas = np.array([-10.0, 350.0])
+        valid = np.ones(2, bool)
+        bad = matching.angle_check_invalid(deltas, valid)
+        assert not bad.any()  # same bin, both kept
+
+
+class TestEpipolar:
+    def test_create_E_and_inliers(self):
+        # two cameras looking at points; perfect correspondences satisfy E
+        from slam_tpu.geometry import se3
+        R1, t1 = np.eye(3), np.zeros(3)
+        R2 = se3.so3_exp(np.array([0.0, 0.1, 0.0]))
+        c2 = np.array([0.5, 0.0, 0.0])
+        t2 = -R2 @ c2
+        pts = rng.uniform([-1, -1, 3], [1, 1, 6], (30, 3))
+        b1 = pts / np.linalg.norm(pts, axis=1, keepdims=True)
+        p2 = pts @ R2.T + t2
+        b2 = p2 / np.linalg.norm(p2, axis=1, keepdims=True)
+        E12 = matching.create_E_21(R2, t2, R1, t1)  # maps cam2 bearings -> epiplanes in cam1
+        inl = matching.epipolar_inlier_matrix(b1, b2, E12, np.ones(30), 0.2)
+        assert np.diag(inl).all()
+        # golden comparison against an independent scalar transcription of
+        # check_epipolar_constraint (keyframe_matcher.cpp:23-44). Note the
+        # reference's residual is SIGNED (pi/2 - acos(cos)), so negative-side
+        # pairs always pass — replicated faithfully.
+        want = np.zeros((30, 30), dtype=bool)
+        for i in range(30):
+            for j in range(30):
+                ep = E12 @ b2[j]
+                cos = ep.dot(b1[i]) / np.linalg.norm(ep)
+                residual = np.pi / 2.0 - abs(np.arccos(np.clip(cos, -1, 1)))
+                want[i, j] = residual < np.radians(0.2) * 1.0
+        assert np.array_equal(inl, want)
+        # mismatched pairs on the positive side of the plane do get rejected
+        off_mask = ~np.eye(30, dtype=bool)
+        assert inl[off_mask].mean() < 0.9
+
+
+class TestLoopClosureMatcher:
+    def test_perfect_matches_found(self):
+        d1 = random_desc(30)
+        perm = rng.permutation(30)
+        d2 = d1[perm]
+        dist = hamming.hamming_matrix_host(d1, d2)
+        groups = np.zeros(30, np.int64)
+        ang = np.zeros(30)
+        matched = matching.match_loop_closure_descriptors(
+            dist, groups, groups[perm].copy() * 0, np.ones(30, bool), np.ones(30, bool),
+            ang, ang, lowe_ratio=0.9)
+        # every feature matches its permuted twin
+        want = np.empty(30, np.int64)
+        want[np.arange(30)] = np.argsort(perm)[np.arange(30)]
+        # matched[i] should be index j with d2[j] == d1[i] -> j = perm^{-1}(i)
+        inv = np.argsort(perm)
+        assert np.array_equal(matched, inv)
+
+    def test_lowe_ratio_rejects_ambiguous(self):
+        d1 = random_desc(1)
+        # two near-identical candidates: distances 10 and 11 -> ratio test fails
+        d2 = np.repeat(d1, 2, axis=0)
+        dist = np.array([[10, 11]], dtype=np.int32)
+        matched = matching.match_loop_closure_descriptors(
+            dist, np.zeros(1, np.int64), np.zeros(2, np.int64),
+            np.ones(1, bool), np.ones(2, bool), np.zeros(1), np.zeros(2),
+            lowe_ratio=0.9)
+        assert matched[0] == -1
+        # distances 10 and 50: passes
+        dist2 = np.array([[10, 50]], dtype=np.int32)
+        matched2 = matching.match_loop_closure_descriptors(
+            dist2, np.zeros(1, np.int64), np.zeros(2, np.int64),
+            np.ones(1, bool), np.ones(2, bool), np.zeros(1), np.zeros(2),
+            lowe_ratio=0.9)
+        assert matched2[0] == 0
+
+    def test_group_restriction(self):
+        d1 = random_desc(2)
+        d2 = d1.copy()
+        dist = hamming.hamming_matrix_host(d1, d2)
+        g1 = np.array([0, 1])
+        g2 = np.array([1, 0])  # twin descriptors live in the other group
+        matched = matching.match_loop_closure_descriptors(
+            dist, g1, g2, np.ones(2, bool), np.ones(2, bool),
+            np.zeros(2), np.zeros(2), lowe_ratio=0.9)
+        assert (matched == -1).all()
+
+    def test_one_to_one_first_wins(self):
+        d = random_desc(1)
+        d1 = np.repeat(d, 2, axis=0)   # two identical queries
+        d2 = d                          # one target
+        dist = hamming.hamming_matrix_host(d1, d2)
+        matched = matching.match_loop_closure_descriptors(
+            dist, np.zeros(2, np.int64), np.zeros(1, np.int64),
+            np.ones(2, bool), np.ones(1, bool), np.zeros(2), np.zeros(1),
+            lowe_ratio=0.9)
+        assert matched[0] == 0 and matched[1] == -1
+
+
+class TestTriangulationMatcher:
+    def test_epipolar_gate_applied(self):
+        d1 = random_desc(4)
+        d2 = d1.copy()
+        dist = hamming.hamming_matrix_host(d1, d2)
+        epi = np.ones((4, 4), bool)
+        epi[2, 2] = False  # kill one pair via epipolar gate
+        pairs = matching.match_for_triangulation(
+            dist, np.zeros(4, np.int64), np.zeros(4, np.int64),
+            np.ones(4, bool), np.ones(4, bool), epi,
+            np.zeros(4), np.zeros(4))
+        got = dict(pairs)
+        assert 2 not in got
+        assert got[0] == 0 and got[1] == 1 and got[3] == 3
+
+    def test_free_mask(self):
+        d1 = random_desc(3)
+        dist = hamming.hamming_matrix_host(d1, d1)
+        free1 = np.array([True, False, True])
+        pairs = matching.match_for_triangulation(
+            dist, np.zeros(3, np.int64), np.zeros(3, np.int64),
+            free1, np.ones(3, bool), np.ones((3, 3), bool),
+            np.zeros(3), np.zeros(3))
+        assert 1 not in dict(pairs)
