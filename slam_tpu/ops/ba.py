@@ -1,0 +1,279 @@
+"""Bundle adjustment: Levenberg-Marquardt with implicit-Schur PCG in XLA.
+
+Rebuild of the reference's g2o-based solvers (reference: bundle_adjuster.cpp —
+LM + BlockSolverX + LinearSolverEigen, Huber delta = sqrt(5.991)) as a
+TPU-native batched solver:
+
+  - residuals: normalized-camera reprojection edges with information
+    focal^2 / levelSigmaSq (setMapPointMeasurement, bundle_adjuster.cpp:43-63),
+    SE3 odometry-prior / loop-closure edges (EdgeSE3Expmap semantics:
+    error = log(est_b^-1 * meas * est_a), g2o vertex order preserved), and
+    unary SE3 priors used for the soft orientation anchor
+    (bundle_adjuster.cpp:339-370);
+  - all residuals/Jacobians are whitened and assembled with segment-sums
+    (no sparse matrices); landmarks are eliminated IMPLICITLY: the Schur
+    complement is never formed — PCG runs on it with matrix-vector products
+    expressed as gather/segment-sum passes over the observation list, with a
+    block-Jacobi preconditioner. This keeps everything static-shaped and
+    MXU/VPU-friendly at any problem size;
+  - left-multiplicative SE3 updates, matching g2o's VertexSE3Expmap.
+
+The host-side problem construction (which keyframes/points enter, two-stage
+fix/unfix schedule, chi2 outlier pruning) lives in
+`pipeline/bundle_adjustment.py`.
+"""
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.ops import lie
+
+CHI2_THRESHOLD = 5.991  # reference: bundle_adjuster.cpp:28
+
+
+class BAProblem(NamedTuple):
+    """Padded problem arrays (see builder in pipeline/bundle_adjustment.py)."""
+    poses: jnp.ndarray        # (K, 4, 4) f32 world-to-camera
+    pose_fixed: jnp.ndarray   # (K,) bool
+    points: jnp.ndarray       # (M, 3) f32
+    points_fixed: jnp.ndarray # (M,) bool
+    obs_kf: jnp.ndarray       # (O,) i32
+    obs_mp: jnp.ndarray       # (O,) i32
+    obs_meas: jnp.ndarray     # (O, 2) f32 normalized-camera measurement
+    obs_sqrt_info: jnp.ndarray  # (O,) f32  (focal / sigma_level)
+    obs_valid: jnp.ndarray    # (O,) bool
+    pe_a: jnp.ndarray         # (E,) i32 vertex0 index
+    pe_b: jnp.ndarray         # (E,) i32 vertex1 index
+    pe_meas: jnp.ndarray      # (E, 4, 4) f32
+    pe_sqrt_info: jnp.ndarray # (E, 6, 6) f32 (Cholesky factor of information)
+    pe_valid: jnp.ndarray     # (E,) bool
+    pr_idx: jnp.ndarray       # (P,) i32 unary-prior pose index
+    pr_meas: jnp.ndarray      # (P, 4, 4) f32 target pose
+    pr_sqrt_info: jnp.ndarray # (P, 6, 6) f32
+    pr_valid: jnp.ndarray     # (P,) bool
+
+
+class BAResult(NamedTuple):
+    poses: jnp.ndarray
+    points: jnp.ndarray
+    obs_chi2: jnp.ndarray     # (O,) final unweighted chi2 per observation
+    cost: jnp.ndarray         # scalar robust cost
+
+
+def _reproj_terms(poses, points, p: BAProblem, huber_delta):
+    """Residuals, Jacobians and Huber weights of all reprojection edges."""
+    T = poses[p.obs_kf]                       # (O, 4, 4)
+    X = points[p.obs_mp]                      # (O, 3)
+    pc = jnp.einsum("oij,oj->oi", T[:, :3, :3], X) + T[:, :3, 3]
+    z = pc[:, 2]
+    zsafe = jnp.where(jnp.abs(z) > 1e-6, z, 1e-6)
+    pred = pc[:, :2] / zsafe[:, None]
+    r = (pred - p.obs_meas) * p.obs_sqrt_info[:, None]        # (O, 2)
+    chi2 = jnp.sum(r * r, axis=1)
+    # Huber: weight rho'(chi2) = min(1, delta/|r|)  (g2o RobustKernelHuber)
+    rnorm = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+    w = jnp.minimum(1.0, huber_delta / rnorm)
+    w = jnp.where(p.obs_valid, w, 0.0)
+
+    inv_z = 1.0 / zsafe
+    # d(pred)/d(pc): (O, 2, 3)
+    Jproj = jnp.stack([
+        jnp.stack([inv_z, jnp.zeros_like(z), -pc[:, 0] * inv_z * inv_z], axis=-1),
+        jnp.stack([jnp.zeros_like(z), inv_z, -pc[:, 1] * inv_z * inv_z], axis=-1),
+    ], axis=1)
+    si = p.obs_sqrt_info[:, None, None]
+    sqw = jnp.sqrt(w)[:, None, None]
+    # pose tangent [omega, upsilon], left-mult: d(pc)/d xi = [-skew(pc) | I]
+    Jp_pose = jnp.concatenate([-lie.skew(pc), jnp.broadcast_to(
+        jnp.eye(3, dtype=pc.dtype), (pc.shape[0], 3, 3))], axis=-1)  # (O, 3, 6)
+    J_pose = (Jproj @ Jp_pose) * si * sqw                      # (O, 2, 6)
+    J_pt = (Jproj @ T[:, :3, :3]) * si * sqw                   # (O, 2, 3)
+    # zero out for fixed vertices
+    J_pose = jnp.where(p.pose_fixed[p.obs_kf][:, None, None], 0.0, J_pose)
+    J_pt = jnp.where(p.points_fixed[p.obs_mp][:, None, None], 0.0, J_pt)
+    r_w = r * jnp.sqrt(w)[:, None]
+    chi2 = jnp.where(p.obs_valid, chi2, 0.0)
+    return r_w, J_pose, J_pt, chi2, w
+
+
+def _pe_error_fn(xi_a, xi_b, Ta, Tb, C):
+    """EdgeSE3Expmap error with left-mult tangents applied to both vertices."""
+    A = lie.se3_exp(xi_a) @ Ta
+    B = lie.se3_exp(xi_b) @ Tb
+    return lie.se3_log(lie.se3_inverse(B) @ C @ A)
+
+
+def _pose_edge_terms(poses, p: BAProblem):
+    Ta = poses[p.pe_a]
+    Tb = poses[p.pe_b]
+    zero = jnp.zeros(6, dtype=poses.dtype)
+
+    def one(Ta_i, Tb_i, C_i, S_i):
+        e0 = _pe_error_fn(zero, zero, Ta_i, Tb_i, C_i)
+        Ja = jax.jacfwd(lambda xa: _pe_error_fn(xa, zero, Ta_i, Tb_i, C_i))(zero)
+        Jb = jax.jacfwd(lambda xb: _pe_error_fn(zero, xb, Ta_i, Tb_i, C_i))(zero)
+        return S_i @ e0, S_i @ Ja, S_i @ Jb
+
+    r, Ja, Jb = jax.vmap(one)(Ta, Tb, p.pe_meas, p.pe_sqrt_info)
+    valid = p.pe_valid[:, None]
+    r = jnp.where(valid, r, 0.0)
+    Ja = jnp.where((p.pe_valid & ~p.pose_fixed[p.pe_a])[:, None, None], Ja, 0.0)
+    Jb = jnp.where((p.pe_valid & ~p.pose_fixed[p.pe_b])[:, None, None], Jb, 0.0)
+    return r, Ja, Jb
+
+
+def _prior_terms(poses, p: BAProblem):
+    T = poses[p.pr_idx]
+    zero = jnp.zeros(6, dtype=poses.dtype)
+
+    def one(T_i, P0_i, S_i):
+        fn = lambda xi: lie.se3_log(lie.se3_inverse(lie.se3_exp(xi) @ T_i) @ P0_i)
+        return S_i @ fn(zero), S_i @ jax.jacfwd(fn)(zero)
+
+    r, J = jax.vmap(one)(T, p.pr_meas, p.pr_sqrt_info)
+    ok = p.pr_valid & ~p.pose_fixed[p.pr_idx]
+    r = jnp.where(p.pr_valid[:, None], r, 0.0)
+    J = jnp.where(ok[:, None, None], J, 0.0)
+    return r, J
+
+
+def _robust_cost(chi2, w_unused, huber_delta):
+    """g2o Huber rho(chi2)."""
+    d2 = huber_delta * huber_delta
+    return jnp.where(chi2 <= d2, chi2,
+                     2.0 * huber_delta * jnp.sqrt(jnp.maximum(chi2, 1e-12)) - d2)
+
+
+def _total_cost(poses, points, p: BAProblem, huber_delta):
+    T = poses[p.obs_kf]
+    X = points[p.obs_mp]
+    pc = jnp.einsum("oij,oj->oi", T[:, :3, :3], X) + T[:, :3, 3]
+    zsafe = jnp.where(jnp.abs(pc[:, 2]) > 1e-6, pc[:, 2], 1e-6)
+    pred = pc[:, :2] / zsafe[:, None]
+    r = (pred - p.obs_meas) * p.obs_sqrt_info[:, None]
+    chi2 = jnp.where(p.obs_valid, jnp.sum(r * r, axis=1), 0.0)
+    cost = jnp.sum(_robust_cost(chi2, None, huber_delta) * p.obs_valid)
+
+    r_pe, _, _ = _pose_edge_terms(poses, p)
+    cost += jnp.sum(r_pe * r_pe)
+    r_pr, _ = _prior_terms(poses, p)
+    cost += jnp.sum(r_pr * r_pr)
+    return cost, chi2
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "cg_iters"))
+def solve_ba(p: BAProblem, iterations: int, cg_iters: int,
+             huber_delta: float = float(np.sqrt(CHI2_THRESHOLD)),
+             init_lambda: float = 1e-4) -> BAResult:
+    K = p.poses.shape[0]
+    M = p.points.shape[0]
+
+    def seg(values, idx, num):
+        return jax.ops.segment_sum(values, idx, num_segments=num)
+
+    def linearize_and_solve(poses, points, lam):
+        r_obs, J_pose, J_pt, chi2, w = _reproj_terms(poses, points, p, huber_delta)
+        r_pe, Ja, Jb = _pose_edge_terms(poses, p)
+        r_pr, Jpr = _prior_terms(poses, p)
+
+        # --- normal-equation blocks
+        Hll = seg(jnp.einsum("oci,ocj->oij", J_pt, J_pt), p.obs_mp, M)
+        bl = seg(-jnp.einsum("oci,oc->oi", J_pt, r_obs), p.obs_mp, M)
+        Hpp = seg(jnp.einsum("oci,ocj->oij", J_pose, J_pose), p.obs_kf, K)
+        bp = seg(-jnp.einsum("oci,oc->oi", J_pose, r_obs), p.obs_kf, K)
+        # pose-edge contributions
+        Hpp = Hpp + seg(jnp.einsum("eci,ecj->eij", Ja, Ja), p.pe_a, K)
+        Hpp = Hpp + seg(jnp.einsum("eci,ecj->eij", Jb, Jb), p.pe_b, K)
+        bp = bp + seg(-jnp.einsum("eci,ec->ei", Ja, r_pe), p.pe_a, K)
+        bp = bp + seg(-jnp.einsum("eci,ec->ei", Jb, r_pe), p.pe_b, K)
+        Wab = jnp.einsum("eci,ecj->eij", Ja, Jb)   # (E, 6, 6) off-diagonal
+        # priors
+        Hpp = Hpp + seg(jnp.einsum("pci,pcj->pij", Jpr, Jpr), p.pr_idx, K)
+        bp = bp + seg(-jnp.einsum("pci,pc->pi", Jpr, r_pr), p.pr_idx, K)
+
+        eye6 = jnp.eye(6, dtype=poses.dtype)
+        eye3 = jnp.eye(3, dtype=poses.dtype)
+        # damping + identity for fixed/empty slots keeps blocks invertible
+        Hpp_d = Hpp + (lam + 1e-8) * eye6[None]
+        Hpp_d = jnp.where(p.pose_fixed[:, None, None], eye6[None], Hpp_d)
+        Hll_d = Hll + (lam + 1e-8) * eye3[None]
+        Hll_d = jnp.where(p.points_fixed[:, None, None], eye3[None], Hll_d)
+        Hll_inv = jnp.linalg.inv(Hll_d)
+        bl = jnp.where(p.points_fixed[:, None], 0.0, bl)
+        bp = jnp.where(p.pose_fixed[:, None], 0.0, bp)
+
+        # --- implicit Schur matvec: S x = Hpp_d x + edges - Hpl Hll^-1 Hlp x
+        def Hlp_apply(xp):
+            contrib = jnp.einsum("oci,oi->oc", J_pose, xp[p.obs_kf])
+            return seg(jnp.einsum("oci,oc->oi", J_pt, contrib), p.obs_mp, M)
+
+        def Hpl_apply(xl):
+            contrib = jnp.einsum("oci,oi->oc", J_pt, xl[p.obs_mp])
+            return seg(jnp.einsum("oci,oc->oi", J_pose, contrib), p.obs_kf, K)
+
+        def S_apply(xp):
+            y = jnp.einsum("kij,kj->ki", Hpp_d, xp)
+            # pose-edge off-diagonal blocks
+            y = y + seg(jnp.einsum("eij,ej->ei", Wab, xp[p.pe_b]), p.pe_a, K)
+            y = y + seg(jnp.einsum("eji,ej->ei", Wab, xp[p.pe_a]), p.pe_b, K)
+            yl = jnp.einsum("mij,mj->mi", Hll_inv, Hlp_apply(xp))
+            y = y - Hpl_apply(yl)
+            return jnp.where(p.pose_fixed[:, None], xp, y)
+
+        rhs = bp - Hpl_apply(jnp.einsum("mij,mj->mi", Hll_inv, bl))
+        rhs = jnp.where(p.pose_fixed[:, None], 0.0, rhs)
+
+        # --- PCG with block-Jacobi preconditioner
+        Minv = jnp.linalg.inv(Hpp_d)
+
+        def precond(x):
+            return jnp.einsum("kij,kj->ki", Minv, x)
+
+        x0 = jnp.zeros_like(rhs)
+        r0 = rhs
+        z0 = precond(r0)
+        d0 = z0
+
+        def cg_step(carry, _):
+            x, r, z, d = carry
+            Ad = S_apply(d)
+            rz = jnp.sum(r * z)
+            alpha = rz / jnp.maximum(jnp.sum(d * Ad), 1e-20)
+            x = x + alpha * d
+            r_new = r - alpha * Ad
+            z_new = precond(r_new)
+            beta = jnp.sum(r_new * z_new) / jnp.maximum(rz, 1e-20)
+            d_new = z_new + beta * d
+            return (x, r_new, z_new, d_new), None
+
+        (dx_p, _, _, _), _ = jax.lax.scan(cg_step, (x0, r0, z0, d0), None,
+                                          length=cg_iters)
+        dx_p = jnp.where(p.pose_fixed[:, None], 0.0, dx_p)
+        dx_l = jnp.einsum("mij,mj->mi", Hll_inv, bl - Hlp_apply(dx_p))
+        dx_l = jnp.where(p.points_fixed[:, None], 0.0, dx_l)
+        return dx_p, dx_l
+
+    def lm_step(carry, _):
+        poses, points, lam, cost = carry
+        dx_p, dx_l = linearize_and_solve(poses, points, lam)
+        new_poses = lie.se3_exp(dx_p) @ poses
+        new_points = points + dx_l
+        new_cost, _ = _total_cost(new_poses, new_points, p, huber_delta)
+        accept = new_cost < cost
+        poses = jnp.where(accept, new_poses, poses)
+        points = jnp.where(accept, new_points, points)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+        return (poses, points, lam, cost), None
+
+    cost0, _ = _total_cost(p.poses, p.points, p, huber_delta)
+    (poses, points, lam, cost), _ = jax.lax.scan(
+        lm_step, (p.poses, p.points, jnp.asarray(init_lambda, p.poses.dtype), cost0),
+        None, length=iterations)
+    _, chi2 = _total_cost(poses, points, p, huber_delta)
+    return BAResult(poses, points, chi2, cost)

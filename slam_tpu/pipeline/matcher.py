@@ -1,0 +1,284 @@
+"""Map-aware matchers: projection search, duplicate fusion, Sim3-guided match.
+
+Rebuild of the map-structure-facing half of the reference matcher suite
+(reference: keyframe_matcher.cpp:295-686). Descriptor distances come from the
+MXU Hamming kernel (`ops/hamming.py`) in one batch per call; geometric
+gating, the greedy assignment order, and map mutations stay on host, matching
+the reference's sequential semantics exactly.
+"""
+from __future__ import annotations
+
+from typing import Iterable, List, Tuple
+
+import numpy as np
+
+from slam_tpu.ids import KfId, KpId, MpId
+from slam_tpu.map.keyframe import Keyframe
+from slam_tpu.map.map_point import MapPoint, MapPointStatus
+from slam_tpu.map.mapdb import MapDB
+from slam_tpu.ops import matching
+from slam_tpu.ops.hamming import (HAMMING_DIST_THR_HIGH, HAMMING_DIST_THR_LOW,
+                                  MAX_HAMMING_DIST, hamming_matrix_host)
+from slam_tpu.params import StaticSettings
+
+SQRT_CHI2_INV2D = 2.4477  # p = 0.05 (keyframe_matcher.cpp:17)
+
+
+def _distance_matrix(desc1: np.ndarray, desc2: np.ndarray) -> np.ndarray:
+    """N x M Hamming distances; device GEMM for large problems."""
+    if len(desc1) == 0 or len(desc2) == 0:
+        return np.zeros((len(desc1), len(desc2)), np.int32)
+    if len(desc1) * len(desc2) >= 1 << 16:
+        import jax.numpy as jnp
+        from slam_tpu.ops.hamming import hamming_matrix
+        return np.asarray(hamming_matrix(jnp.asarray(desc1), jnp.asarray(desc2)))
+    return hamming_matrix_host(desc1, desc2)
+
+
+def match_for_loop_closures(kf1: Keyframe, kf2: Keyframe, map_db1: MapDB,
+                            map_db2: MapDB, parameters) -> np.ndarray:
+    """reference: keyframe_matcher.cpp:50-158. Returns per-kf1-keypoint index
+    into kf2 or -1."""
+    n1 = kf1.shared.num_keypoints
+    n2 = kf2.shared.num_keypoints
+    if n1 == 0 or n2 == 0:
+        return np.full(n1, -1, np.int64)
+    cand1 = kf1.map_points >= 0
+    if parameters.requireTringulationForLoopClosures:
+        for i in np.where(cand1)[0]:
+            mp = map_db1.map_points[MpId(int(kf1.map_points[i]))]
+            if mp.status != MapPointStatus.TRIANGULATED:
+                cand1[i] = False
+    cand2 = kf2.map_points >= 0
+    for j in np.where(cand2)[0]:
+        mp = map_db2.map_points[MpId(int(kf2.map_points[j]))]
+        if mp.status != MapPointStatus.TRIANGULATED:
+            cand2[j] = False
+    dist = _distance_matrix(kf1.shared.descriptors, kf2.shared.descriptors)
+    return matching.match_loop_closure_descriptors(
+        dist, kf1.shared.groups, kf2.shared.groups, cand1, cand2,
+        kf1.shared.angle, kf2.shared.angle,
+        lowe_ratio=parameters.loopClosureFeatureMatchLoweRatio)
+
+
+def match_for_triangulation(kf1: Keyframe, kf2: Keyframe,
+                            settings: StaticSettings) -> List[Tuple[KpId, KpId]]:
+    """reference: keyframe_matcher.cpp:160-293 (matchForTriangulationDBoW)."""
+    n1 = kf1.shared.num_keypoints
+    n2 = kf2.shared.num_keypoints
+    if n1 == 0 or n2 == 0:
+        return []
+    E12 = matching.create_E_21(
+        kf2.pose_cw[:3, :3], kf2.pose_cw[:3, 3],
+        kf1.pose_cw[:3, :3], kf1.pose_cw[:3, 3])
+    sf = settings.scaleFactors
+    scale_1 = np.asarray(sf)[np.clip(kf1.shared.octave, 0, len(sf) - 1)]
+    epi = matching.epipolar_inlier_matrix(
+        kf1.shared.bearings, kf2.shared.bearings, E12, scale_1,
+        settings.parameters.slam.epipolarCheckThresholdDegrees)
+    dist = _distance_matrix(kf1.shared.descriptors, kf2.shared.descriptors)
+    free1 = kf1.map_points < 0
+    free2 = kf2.map_points < 0
+    pairs = matching.match_for_triangulation(
+        dist, kf1.shared.groups, kf2.shared.groups, free1, free2, epi,
+        kf1.shared.angle, kf2.shared.angle)
+    return [(KpId(a), KpId(b)) for a, b in pairs]
+
+
+def search_by_projection(kf: Keyframe, mp_ids: List[MpId], map_db: MapDB,
+                         threshold: float, settings: StaticSettings) -> int:
+    """Project local map points into the keyframe and claim unmatched
+    keypoints (reference: keyframe_matcher.cpp:295-414)."""
+    if not mp_ids:
+        return 0
+    view_angle_limit_cos = 0.5
+    sf = settings.scaleFactors
+    ref_scale = float(sf[len(sf) // 2])
+    match_count = 0
+
+    mps = [map_db.map_points[m] for m in mp_ids]
+    positions = np.stack([mp.position for mp in mps])
+    pix, visible = kf.reproject_many(positions)
+    cam_center = kf.camera_center()
+    mp_descs = np.stack([mp.descriptor for mp in mps])
+    dist_all = _distance_matrix(mp_descs, kf.shared.descriptors)
+
+    for k, mp in enumerate(mps):
+        if not visible[k]:
+            continue
+        mp_to_kf = (cam_center - mp.position).astype(np.float32)
+        d = float(np.linalg.norm(mp_to_kf))
+        if d < mp.min_viewing_distance or d > mp.max_viewing_distance:
+            continue
+        viewing_cos = float(mp_to_kf @ mp.norm) / max(d, 1e-12)
+        if viewing_cos < view_angle_limit_cos:
+            continue
+        pred_level = mp.predict_scale_level(d, settings)
+        # small-view-angle radius shrink (keyframe_matcher.cpp:335-338)
+        r = 2.5 / 4.0 if viewing_cos > 0.998 else 1.0
+        radius = r * threshold * float(sf[pred_level]) / ref_scale
+        idxs = kf.get_features_around(pix[k], radius)
+        if len(idxs) == 0:
+            continue
+        # skip keypoints already owned by a live map point
+        cand = np.zeros(kf.shared.num_keypoints, bool)
+        for j in idxs:
+            owner = int(kf.map_points[j])
+            if owner >= 0 and len(map_db.map_points[MpId(owner)].observations) > 0:
+                continue
+            cand[j] = True
+        best_idx, best_d, best_l, second_d, second_l = matching.radius_best_match(
+            dist_all[k], cand, kf.shared.octave)
+        if best_idx == -1:
+            continue
+        if best_d <= HAMMING_DIST_THR_HIGH:
+            if best_l == second_l and best_d > 0.8 * second_d:
+                continue
+            kf.add_observation(mp.id, KpId(best_idx))
+            mp.add_observation(kf.id, KpId(best_idx))
+            match_count += 1
+    return match_count
+
+
+def replace_duplication(kf: Keyframe, mp_ids: Iterable[MpId], margin: float,
+                        map_db: MapDB, settings: StaticSettings) -> int:
+    """Fuse map points duplicated by projection
+    (reference: keyframe_matcher.cpp:416-529)."""
+    erased: set = set()
+    fused = 0
+    sf = settings.scaleFactors
+    base_scale = float(sf[len(sf) // 2])
+    for mp_id in mp_ids:
+        if int(mp_id) < 0 or mp_id in erased:
+            continue
+        mp = map_db.map_points.get(mp_id)
+        if mp is None:
+            continue
+        if kf.id in mp.observations:
+            continue
+        if mp.status in (MapPointStatus.BAD, MapPointStatus.NOT_TRIANGULATED):
+            continue
+        pix, in_image = kf.reproject(mp.position)
+        if not in_image:
+            continue
+        mp_to_kf = (kf.camera_center() - mp.position).astype(np.float32)
+        d = float(np.linalg.norm(mp_to_kf))
+        if d < mp.min_viewing_distance or d > mp.max_viewing_distance:
+            continue
+        if not np.any(mp.norm):
+            continue
+        if float(mp_to_kf @ mp.norm) / max(d, 1e-12) < 0.5:
+            continue
+        pred_level = mp.predict_scale_level(d, settings)
+        r = margin * float(sf[pred_level]) / base_scale * SQRT_CHI2_INV2D
+        idxs = kf.get_features_around(pix, r)
+        if len(idxs) == 0:
+            continue
+        dists = np.array([int(x) for x in
+                          hamming_matrix_host(mp.descriptor[None],
+                                              kf.shared.descriptors[idxs])[0]])
+        best = int(np.argmin(dists))
+        best_dist = int(dists[best])
+        best_kp = KpId(int(idxs[best]))
+        if best_dist > HAMMING_DIST_THR_LOW:
+            continue
+        matched_mp_id = int(kf.map_points[int(best_kp)])
+        if matched_mp_id < 0:
+            mp.add_observation(kf.id, best_kp)
+            kf.add_observation(mp.id, best_kp)
+        else:
+            matched_mp = map_db.map_points[MpId(matched_mp_id)]
+            # keep the point with more observations (keyframe_matcher.cpp:508-522)
+            if len(mp.observations) < len(matched_mp.observations):
+                if matched_mp.status == MapPointStatus.NOT_TRIANGULATED:
+                    matched_mp.erase_observation(kf.id)
+                    kf.map_points[int(best_kp)] = int(mp.id)
+                    mp.add_observation(kf.id, best_kp)
+                else:
+                    mp.replace_with(map_db, matched_mp)
+                erased.add(mp_id)
+            else:
+                matched_mp.replace_with(map_db, mp)
+                erased.add(MpId(matched_mp_id))
+        fused += 1
+    return fused
+
+
+def find_matches_transformed_mps(mp_ids_a: np.ndarray,
+                                 already_matched_in_a: np.ndarray,
+                                 kf_b: Keyframe,
+                                 rot_baw: np.ndarray, trans_baw: np.ndarray,
+                                 map_db: MapDB, margin: float,
+                                 settings: StaticSettings) -> np.ndarray:
+    """One direction of the Sim3-guided matching
+    (reference: keyframe_matcher.cpp:552-631)."""
+    sf = settings.scaleFactors
+    n = len(mp_ids_a)
+    matches = np.full(n, -1, np.int64)
+    for i in range(n):
+        if already_matched_in_a[i]:
+            continue
+        mp_id = int(mp_ids_a[i])
+        if mp_id < 0:
+            continue
+        mp = map_db.map_points.get(MpId(mp_id))
+        if mp is None or mp.status != MapPointStatus.TRIANGULATED:
+            continue
+        pos_w = mp.position
+        pos_b = rot_baw @ pos_w + trans_baw
+        pix, ok = kf_b.shared.camera.ray_to_pixel(pos_b)
+        if not ok or not kf_b.shared.camera.is_valid_pixel(pix):
+            continue
+        viewing_distance = float(np.linalg.norm(pos_b))
+        if (viewing_distance < mp.min_viewing_distance
+                or viewing_distance > mp.max_viewing_distance):
+            continue
+        pred_level = mp.predict_scale_level(viewing_distance, settings)
+        idxs = kf_b.get_features_around(pix, margin * float(sf[pred_level]))
+        if len(idxs) == 0:
+            continue
+        best_dist = MAX_HAMMING_DIST
+        best_j = -1
+        for j in idxs:
+            octv = int(kf_b.shared.octave[j])
+            if octv < pred_level - 1 or octv > pred_level:
+                continue
+            dd = int(hamming_matrix_host(mp.descriptor[None],
+                                         kf_b.shared.descriptors[j][None])[0, 0])
+            if dd < best_dist:
+                best_dist = dd
+                best_j = int(j)
+        if best_dist <= HAMMING_DIST_THR_HIGH:
+            matches[i] = best_j
+    return matches
+
+
+def match_map_points_sim3(kf1: Keyframe, kf2: Keyframe, transform12: np.ndarray,
+                          map_db: MapDB,
+                          matches: List[Tuple[MpId, MpId]],
+                          settings: StaticSettings) -> None:
+    """Bidirectional Sim3-guided matching with mutual-consistency filter;
+    extends ``matches`` in place (reference: keyframe_matcher.cpp:633-686)."""
+    margin = 7.5
+    already1 = np.zeros(len(kf1.map_points), bool)
+    already2 = np.zeros(len(kf2.map_points), bool)
+    for mp1, mp2 in matches:
+        already1[int(map_db.map_points[mp1].observations[kf1.id])] = True
+        already2[int(map_db.map_points[mp2].observations[kf2.id])] = True
+
+    t21w = np.linalg.inv(transform12) @ kf1.pose_cw
+    m_2_in_1 = find_matches_transformed_mps(
+        kf1.map_points, already1, kf2, t21w[:3, :3], t21w[:3, 3],
+        map_db, margin, settings)
+    t12w = transform12 @ kf2.pose_cw
+    m_1_in_2 = find_matches_transformed_mps(
+        kf2.map_points, already2, kf1, t12w[:3, :3], t12w[:3, 3],
+        map_db, margin, settings)
+
+    for i in range(len(m_2_in_1)):
+        j = int(m_2_in_1[i])
+        if j < 0:
+            continue
+        if int(m_1_in_2[j]) == i:
+            matches.append((MpId(int(kf1.map_points[i])),
+                            MpId(int(kf2.map_points[j]))))
