@@ -1,0 +1,131 @@
+"""Sim3 transform refinement: small LM over one similarity transform.
+
+Rebuild of ``OptimizeSim3Transform`` (reference: optimize_transform.cpp:
+63-155): one Sim3 vertex against fixed map-point pairs with forward
+(EdgeSim3ProjectXYZ) and inverse (EdgeInverseSim3ProjectXYZ) projection
+edges in the normalized camera, Huber kernel, 20 iterations.
+
+The state is a 7-vector chart [omega, upsilon, sigma] applied as
+R <- exp(omega) R, t <- t + upsilon, s <- s * exp(sigma); Jacobians come from
+vmapped forward-mode autodiff and the 7x7 normal equations are solved
+directly — the whole 20-iteration LM loop is one jitted device call.
+
+Note: the reference weights edges by levelSigmaSq (not its inverse,
+optimize_transform.cpp:122,137); replicated faithfully.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.ops import lie
+
+
+def _apply_chart(delta, R, t, s):
+    dR = lie.so3_exp(delta[:3])
+    return dR @ R, t + delta[3:6], s * jnp.exp(delta[6])
+
+
+def _residuals(delta, R, t, s, pts1, pts2, obs1, obs2, w1, w2, valid):
+    """Stacked whitened residuals of forward and inverse projection edges."""
+    Rn, tn, sn = _apply_chart(delta, R, t, s)
+    # forward: map p2 (cam2 frame) through Sim3_12 -> cam1, compare to obs1
+    p_in_1 = sn * (pts2 @ Rn.T) + tn
+    z1 = jnp.where(jnp.abs(p_in_1[:, 2]) > 1e-6, p_in_1[:, 2], 1e-6)
+    e12 = (obs1 - p_in_1[:, :2] / z1[:, None]) * w1[:, None]
+    # inverse: map p1 (cam1 frame) through Sim3_12^-1 -> cam2, compare to obs2
+    sinv = 1.0 / sn
+    Rinv = Rn.T
+    tinv = -sinv * (Rinv @ tn)
+    p_in_2 = sinv * (pts1 @ Rinv.T) + tinv
+    z2 = jnp.where(jnp.abs(p_in_2[:, 2]) > 1e-6, p_in_2[:, 2], 1e-6)
+    e21 = (obs2 - p_in_2[:, :2] / z2[:, None]) * w2[:, None]
+    r = jnp.concatenate([e12, e21], axis=0)
+    v = jnp.concatenate([valid, valid], axis=0)
+    return jnp.where(v[:, None], r, 0.0)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "fix_scale"))
+def _optimize_impl(R0, t0, s0, pts1, pts2, obs1, obs2, w1, w2, valid,
+                   huber_delta, iterations, fix_scale):
+    def cost_fn(R, t, s):
+        r = _residuals(jnp.zeros(7, R.dtype), R, t, s,
+                       pts1, pts2, obs1, obs2, w1, w2, valid)
+        chi2 = jnp.sum(r * r, axis=1)
+        d2 = huber_delta * huber_delta
+        rho = jnp.where(chi2 <= d2, chi2,
+                        2.0 * huber_delta * jnp.sqrt(jnp.maximum(chi2, 1e-12)) - d2)
+        return jnp.sum(rho), chi2
+
+    def lm_step(carry, _):
+        R, t, s, lam, cost = carry
+        zero = jnp.zeros(7, R.dtype)
+        r0 = _residuals(zero, R, t, s, pts1, pts2, obs1, obs2, w1, w2, valid)
+        J = jax.jacfwd(lambda d: _residuals(d, R, t, s, pts1, pts2,
+                                            obs1, obs2, w1, w2, valid))(zero)
+        # Huber weights
+        chi2 = jnp.sum(r0 * r0, axis=1)
+        wq = jnp.sqrt(jnp.minimum(1.0, huber_delta /
+                                  jnp.sqrt(jnp.maximum(chi2, 1e-12))))[:, None]
+        rw = r0 * wq
+        Jw = J * wq[:, :, None]
+        Jf = Jw.reshape(-1, 7)
+        rf = rw.reshape(-1)
+        H = Jf.T @ Jf + lam * jnp.eye(7, dtype=R.dtype)
+        g = -Jf.T @ rf
+        if fix_scale:
+            # zero the scale row/col, keep unit diagonal
+            H = H.at[6, :].set(0.0).at[:, 6].set(0.0).at[6, 6].set(1.0)
+            g = g.at[6].set(0.0)
+        delta = jnp.linalg.solve(H, g)
+        Rn, tn, sn = _apply_chart(delta, R, t, s)
+        new_cost, _ = cost_fn(Rn, tn, sn)
+        accept = new_cost < cost
+        R = jnp.where(accept, Rn, R)
+        t = jnp.where(accept, tn, t)
+        s = jnp.where(accept, sn, s)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+        return (R, t, s, lam, cost), None
+
+    cost0, _ = cost_fn(R0, t0, s0)
+    (R, t, s, _, _), _ = jax.lax.scan(
+        lm_step, (R0, t0, s0, jnp.asarray(1e-4, R0.dtype), cost0),
+        None, length=iterations)
+    return R, t, s
+
+
+def optimize_sim3_transform(rot_12: np.ndarray, trans_12: np.ndarray,
+                            scale_12: float,
+                            pts1_cam: np.ndarray, pts2_cam: np.ndarray,
+                            obs1: np.ndarray, obs2: np.ndarray,
+                            sigma_sq1: np.ndarray, sigma_sq2: np.ndarray,
+                            inlier_threshold: float,
+                            fix_scale: bool,
+                            iterations: int = 20
+                            ) -> Tuple[np.ndarray, np.ndarray, float]:
+    """Refine (R, t, s) of the cam2->cam1 similarity.
+
+    pts1_cam/pts2_cam: (N, 3) matched map points in each camera frame;
+    obs1/obs2: (N, 2) normalized-camera observations (bearing.xy/z);
+    sigma_sq*: per-match levelSigmaSq (used as edge information, see module
+    docstring).
+    """
+    n = len(pts1_cam)
+    if n == 0:
+        return rot_12, trans_12, scale_12
+    huber = float(np.sqrt(inlier_threshold))
+    w1 = np.sqrt(np.asarray(sigma_sq1, np.float32))
+    w2 = np.sqrt(np.asarray(sigma_sq2, np.float32))
+    R, t, s = _optimize_impl(
+        jnp.asarray(rot_12, jnp.float32), jnp.asarray(trans_12, jnp.float32),
+        jnp.asarray(float(scale_12), jnp.float32),
+        jnp.asarray(pts1_cam, jnp.float32), jnp.asarray(pts2_cam, jnp.float32),
+        jnp.asarray(obs1, jnp.float32), jnp.asarray(obs2, jnp.float32),
+        jnp.asarray(w1), jnp.asarray(w2), jnp.ones(n, bool),
+        jnp.asarray(huber, jnp.float32), int(iterations), bool(fix_scale))
+    return (np.asarray(R, np.float64), np.asarray(t, np.float64), float(s))

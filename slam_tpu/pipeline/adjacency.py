@@ -1,0 +1,67 @@
+"""Spatially-defined keyframe adjacency.
+
+Rebuild of ``computeAdjacentKeyframes`` (reference: mapper_helpers.cpp:
+144-229): walk the prev/next keyframe chain from the current keyframe,
+collect covisibility neighbors ("parents") every second step, extend chains
+around each parent, then keep the N spatially closest keyframes.
+"""
+from __future__ import annotations
+
+from typing import List
+
+import numpy as np
+
+from slam_tpu.ids import KfId
+from slam_tpu.map.keyframe import Keyframe
+from slam_tpu.map.mapdb import MapDB
+from slam_tpu.params import StaticSettings
+
+
+def compute_adjacent_keyframes(current_keyframe: Keyframe,
+                               min_covisibilities: int,
+                               max_keyframes: int,
+                               map_db: MapDB,
+                               settings: StaticSettings) -> List[KfId]:
+    adjacent_set = set()
+    parents = set()
+
+    # walk backwards along the prev chain (mapper_helpers.cpp:160-176)
+    i = 0
+    backwards = current_keyframe.id
+    while backwards.valid:
+        adjacent_set.add(backwards)
+        keyframe = map_db.keyframes[backwards]
+        if i % 2 == 0:
+            parents.update(keyframe.get_neighbors(map_db, min_covisibilities, False))
+        i += 1
+        if i >= max_keyframes:
+            break
+        backwards = keyframe.previous_kf_id
+
+    # chains around each parent (mapper_helpers.cpp:179-200)
+    for parent in sorted(parents):
+        backwards = parent
+        i = 0
+        while backwards.valid:
+            adjacent_set.add(backwards)
+            i += 1
+            if i >= max_keyframes // 2:
+                break
+            backwards = map_db.keyframes[backwards].previous_kf_id
+        forwards = parent
+        i = 0
+        while forwards.valid:
+            adjacent_set.add(forwards)
+            i += 1
+            if i >= max_keyframes // 2:
+                break
+            forwards = map_db.keyframes[forwards].next_kf_id
+
+    adjacent_set.discard(current_keyframe.id)
+    adjacent = sorted(adjacent_set)
+
+    # keep the N closest by camera-center distance (mapper_helpers.cpp:206-216)
+    current_pos = current_keyframe.camera_center()
+    adjacent.sort(key=lambda kf_id: float(
+        np.sum((map_db.keyframes[kf_id].camera_center() - current_pos) ** 2)))
+    return adjacent[:max_keyframes]

@@ -1,0 +1,424 @@
+"""Bundle-adjustment drivers: build problems from the map, run the XLA solver.
+
+Rebuild of the reference's three g2o solvers (reference: bundle_adjuster.cpp):
+
+  - ``local_bundle_adjust`` (141-394): adjacency + forced-6-newest island,
+    two-stage optimize (current-KF-only, then all-free with a soft
+    orientation anchor), chi2 observation pruning;
+  - ``pose_bundle_adjust`` (396-491): current KF against fixed previous KF
+    and fixed map points;
+  - ``global_bundle_adjust`` (493-604): whole map, current KF fixed.
+
+Problems are padded into static-shape buckets so repeated solves reuse the
+compiled kernel (`ops/ba.py`).
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Dict, List, Optional, Set, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.ids import KfId, KpId, MpId
+from slam_tpu.map.keyframe import Keyframe
+from slam_tpu.map.map_point import MapPoint, MapPointStatus
+from slam_tpu.map.mapdb import MapDB
+from slam_tpu.ops import ba
+from slam_tpu.params import StaticSettings
+from slam_tpu.pipeline.adjacency import compute_adjacent_keyframes
+from slam_tpu.utils.stats import Ba, BaStats
+
+CHI2_THRESHOLD = ba.CHI2_THRESHOLD
+
+
+@dataclasses.dataclass
+class WorkspaceBA:
+    """reference: bundle_adjuster.hpp:16-25"""
+    local_kf_ids: Set[KfId] = dataclasses.field(default_factory=set)
+    local_mp_ids: Set[MpId] = dataclasses.field(default_factory=set)
+    ba_stats: BaStats = dataclasses.field(default_factory=BaStats)
+
+
+def odometry_prior_strengths(kf_id1: KfId, kf_id2: KfId,
+                             parameters, map_db: MapDB) -> np.ndarray:
+    """6x6 information for the odometry edge between consecutive keyframes
+    (reference: mapper_helpers.cpp:911-956). Rotation block first."""
+    p = parameters.odometryPriorStrengthPosition
+    r = parameters.odometryPriorStrengthRotation
+    info = np.eye(6)
+    assert int(kf_id2) > int(kf_id1)
+    kf1 = map_db.keyframes[kf_id1]
+    kf2 = map_db.keyframes[kf_id2]
+    dt = max(kf2.t - kf1.t, 1e-6)
+    s = 0.26667 / dt
+    if parameters.odometryPriorFixed:
+        info[:3, :3] *= s * r * r
+    else:
+        info[:3, :3] = r * r / 135000.0 * np.linalg.inv(kf2.uncertainty[:3, :3])
+    if parameters.odometryPriorFixed:
+        info[3:, 3:] *= s * p * p
+    elif parameters.odometryPriorSimpleUncertainty:
+        mean_unc = np.mean([1.0 / max(np.linalg.norm(kf2.uncertainty[i]), 1e-9)
+                            for i in range(3)])
+        info[3:, 3:] *= p * p / 5000.0 * mean_unc
+    else:
+        info[3:, 3:] = p * p / 5000.0 * np.linalg.inv(kf2.uncertainty[:, 3:])
+    return info
+
+
+def loop_edge_information(parameters) -> np.ndarray:
+    """Distance-independent loop-closure edge information
+    (reference: bundle_adjuster.cpp:103-109)."""
+    p = parameters.odometryPriorStrengthPosition
+    r = parameters.odometryPriorStrengthRotation
+    info = np.eye(6)
+    info[:3, :3] *= r * r
+    info[3:, 3:] *= p * p
+    return info
+
+
+def _sqrt_info(info: np.ndarray) -> np.ndarray:
+    """Whitening factor S with S^T S = info (use L^T from info = L L^T)."""
+    # tolerate rank-deficient info (e.g. rotation-only anchors)
+    w, V = np.linalg.eigh((info + info.T) / 2.0)
+    w = np.clip(w, 0.0, None)
+    return (V * np.sqrt(w)[None, :]) @ V.T
+
+
+def _pad(n: int, quantum: int) -> int:
+    return max(quantum, ((n + quantum - 1) // quantum) * quantum)
+
+
+class _ProblemBuilder:
+    """Accumulates vertices/edges, pads, solves, writes back."""
+
+    def __init__(self, settings: StaticSettings):
+        self.settings = settings
+        self.kf_ids: List[KfId] = []
+        self.kf_slot: Dict[KfId, int] = {}
+        self.mp_ids: List[MpId] = []
+        self.mp_slot: Dict[MpId, int] = {}
+        self.poses: List[np.ndarray] = []
+        self.pose_fixed: List[bool] = []
+        self.points: List[np.ndarray] = []
+        self.points_fixed: List[bool] = []
+        self.obs: List[Tuple[int, int, float, float, float]] = []  # kf, mp, mx, my, sqrt_info
+        self.obs_tag: List[Tuple[KfId, MpId]] = []
+        self.pe: List[Tuple[int, int, np.ndarray, np.ndarray]] = []
+        self.priors: List[Tuple[int, np.ndarray, np.ndarray]] = []
+
+    def add_keyframe(self, kf: Keyframe, fixed: bool) -> int:
+        slot = self.kf_slot.get(kf.id)
+        if slot is None:
+            slot = len(self.kf_ids)
+            self.kf_slot[kf.id] = slot
+            self.kf_ids.append(kf.id)
+            self.poses.append(np.asarray(kf.pose_cw, np.float64))
+            self.pose_fixed.append(fixed)
+        return slot
+
+    def add_map_point(self, mp: MapPoint, fixed: bool) -> int:
+        slot = self.mp_slot.get(mp.id)
+        if slot is None:
+            slot = len(self.mp_ids)
+            self.mp_slot[mp.id] = slot
+            self.mp_ids.append(mp.id)
+            self.points.append(np.asarray(mp.position, np.float64))
+            self.points_fixed.append(fixed)
+        return slot
+
+    def add_observation(self, kf: Keyframe, kp_id: KpId, mp: MapPoint) -> None:
+        """Normalized-camera measurement with focal^2/sigma^2 information
+        (reference: bundle_adjuster.cpp:43-63)."""
+        kf_slot = self.kf_slot[kf.id]
+        mp_slot = self.mp_slot[mp.id]
+        bearing = kf.shared.bearings[int(kp_id)]
+        meas = bearing[:2] / bearing[2]
+        focal = float(kf.shared.camera.get_focal_length())
+        sigma_sq = float(self.settings.levelSigmaSq[int(kf.shared.octave[int(kp_id)])])
+        sqrt_info = focal / math.sqrt(sigma_sq)
+        self.obs.append((kf_slot, mp_slot, float(meas[0]), float(meas[1]), sqrt_info))
+        self.obs_tag.append((kf.id, mp.id))
+
+    def add_odometry_edge(self, kf_id: KfId, prev_kf_id: KfId, map_db: MapDB) -> None:
+        """vertex0 = kf, vertex1 = prev (reference: bundle_adjuster.cpp:65-85)."""
+        pose_diff = map_db.pose_difference(prev_kf_id, kf_id)
+        info = odometry_prior_strengths(
+            prev_kf_id, kf_id, self.settings.parameters.slam, map_db)
+        self.pe.append((self.kf_slot[kf_id], self.kf_slot[prev_kf_id],
+                        pose_diff, _sqrt_info(info)))
+
+    def add_loop_edge(self, kf_id1: KfId, kf_id2: KfId, pose_diff: np.ndarray) -> bool:
+        """vertex0 = kfId2, vertex1 = kfId1 (reference: bundle_adjuster.cpp:87-111)."""
+        if kf_id1 not in self.kf_slot or kf_id2 not in self.kf_slot:
+            return False
+        info = loop_edge_information(self.settings.parameters.slam)
+        self.pe.append((self.kf_slot[kf_id2], self.kf_slot[kf_id1],
+                        pose_diff, _sqrt_info(info)))
+        return True
+
+    def add_orientation_anchor(self, kf_id: KfId, pose_cw: np.ndarray) -> None:
+        """Soft rotation-only prior (reference: bundle_adjuster.cpp:339-370)."""
+        r = 100.0 * self.settings.parameters.slam.odometryPriorStrengthRotation
+        info = np.zeros((6, 6))
+        info[:3, :3] = np.eye(3) * r * r
+        self.priors.append((self.kf_slot[kf_id], np.asarray(pose_cw), _sqrt_info(info)))
+
+    # ------------------------------------------------------------------
+
+    def build(self) -> ba.BAProblem:
+        K = _pad(len(self.kf_ids), 8)
+        M = _pad(len(self.mp_ids), 64)
+        O = _pad(len(self.obs), 256)
+        E = _pad(len(self.pe), 8)
+        P = _pad(len(self.priors), 1)
+
+        poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+        pose_fixed = np.ones(K, bool)
+        for i, T in enumerate(self.poses):
+            poses[i] = T.astype(np.float32)
+            pose_fixed[i] = self.pose_fixed[i]
+        points = np.zeros((M, 3), np.float32)
+        points_fixed = np.ones(M, bool)
+        for i, X in enumerate(self.points):
+            points[i] = X.astype(np.float32)
+            points_fixed[i] = self.points_fixed[i]
+
+        obs_kf = np.zeros(O, np.int32)
+        obs_mp = np.zeros(O, np.int32)
+        obs_meas = np.zeros((O, 2), np.float32)
+        obs_si = np.zeros(O, np.float32)
+        obs_valid = np.zeros(O, bool)
+        for i, (k, m, mx, my, si) in enumerate(self.obs):
+            obs_kf[i] = k
+            obs_mp[i] = m
+            obs_meas[i] = (mx, my)
+            obs_si[i] = si
+            obs_valid[i] = True
+
+        pe_a = np.zeros(E, np.int32)
+        pe_b = np.zeros(E, np.int32)
+        pe_meas = np.tile(np.eye(4, dtype=np.float32), (E, 1, 1))
+        pe_si = np.zeros((E, 6, 6), np.float32)
+        pe_valid = np.zeros(E, bool)
+        for i, (a, b, C, S) in enumerate(self.pe):
+            pe_a[i] = a
+            pe_b[i] = b
+            pe_meas[i] = C.astype(np.float32)
+            pe_si[i] = S.astype(np.float32)
+            pe_valid[i] = True
+
+        pr_idx = np.zeros(P, np.int32)
+        pr_meas = np.tile(np.eye(4, dtype=np.float32), (P, 1, 1))
+        pr_si = np.zeros((P, 6, 6), np.float32)
+        pr_valid = np.zeros(P, bool)
+        for i, (k, T, S) in enumerate(self.priors):
+            pr_idx[i] = k
+            pr_meas[i] = T.astype(np.float32)
+            pr_si[i] = S.astype(np.float32)
+            pr_valid[i] = True
+
+        return ba.BAProblem(
+            poses=jnp.asarray(poses), pose_fixed=jnp.asarray(pose_fixed),
+            points=jnp.asarray(points), points_fixed=jnp.asarray(points_fixed),
+            obs_kf=jnp.asarray(obs_kf), obs_mp=jnp.asarray(obs_mp),
+            obs_meas=jnp.asarray(obs_meas), obs_sqrt_info=jnp.asarray(obs_si),
+            obs_valid=jnp.asarray(obs_valid),
+            pe_a=jnp.asarray(pe_a), pe_b=jnp.asarray(pe_b),
+            pe_meas=jnp.asarray(pe_meas), pe_sqrt_info=jnp.asarray(pe_si),
+            pe_valid=jnp.asarray(pe_valid),
+            pr_idx=jnp.asarray(pr_idx), pr_meas=jnp.asarray(pr_meas),
+            pr_sqrt_info=jnp.asarray(pr_si), pr_valid=jnp.asarray(pr_valid))
+
+    def solve(self, iterations: int) -> ba.BAResult:
+        problem = self.build()
+        cg = min(6 * max(len(self.kf_ids), 1), 96)
+        return ba.solve_ba(problem, iterations=int(iterations), cg_iters=int(cg))
+
+    def apply_poses(self, result: ba.BAResult, map_db: MapDB,
+                    only: Optional[Set[KfId]] = None) -> None:
+        poses = np.asarray(result.poses, np.float64)
+        for i, kf_id in enumerate(self.kf_ids):
+            if only is not None and kf_id not in only:
+                continue
+            map_db.keyframes[kf_id].pose_cw = _orthonormalize(poses[i])
+
+    def apply_points(self, result: ba.BAResult, map_db: MapDB) -> None:
+        points = np.asarray(result.points, np.float64)
+        for i, mp_id in enumerate(self.mp_ids):
+            map_db.map_points[mp_id].position = points[i].copy()
+
+    def prune_outliers(self, result: ba.BAResult, map_db: MapDB) -> None:
+        """chi2 > 5.991 observation pruning (reference:
+        bundle_adjuster.cpp:376-388)."""
+        chi2 = np.asarray(result.obs_chi2)
+        for i, (kf_id, mp_id) in enumerate(self.obs_tag):
+            if chi2[i] > CHI2_THRESHOLD:
+                mp = map_db.map_points.get(mp_id)
+                if mp is None or kf_id not in mp.observations:
+                    continue
+                mp.erase_observation(kf_id)
+                map_db.keyframes[kf_id].erase_observation(mp_id)
+                if len(mp.observations) <= 2:
+                    mp.status = MapPointStatus.UNSURE
+
+
+# ---------------------------------------------------------------------------
+
+
+def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
+                        map_db: MapDB, problem_max_size: int,
+                        settings: StaticSettings) -> Set[MpId]:
+    """reference: bundle_adjuster.cpp:141-394"""
+    parameters = settings.parameters.slam
+    iterations = int(1 + math.sqrt(problem_max_size))
+
+    local_keyframes = workspace.local_kf_ids
+    local_keyframes.clear()
+    local_map_points = workspace.local_mp_ids
+    local_map_points.clear()
+
+    adjacent = compute_adjacent_keyframes(keyframe, 15, problem_max_size,
+                                          map_db, settings)
+    local_keyframes.add(keyframe.id)
+    local_keyframes.update(adjacent)
+    # stabilizing island: force the 6 newest keyframes in
+    # (reference: bundle_adjuster.cpp:187-193)
+    for i, kf_id in enumerate(sorted(map_db.keyframes, reverse=True)):
+        local_keyframes.add(kf_id)
+        if i >= 5:
+            break
+
+    n_current_frame_mps = 0
+    for kf_id in sorted(local_keyframes, reverse=True):
+        kf = map_db.keyframes[kf_id]
+        for mp_val in kf.map_points:
+            if mp_val < 0:
+                continue
+            mp = map_db.map_points[MpId(int(mp_val))]
+            if mp.status == MapPointStatus.TRIANGULATED:
+                if kf_id == keyframe.id:
+                    n_current_frame_mps += 1
+                local_map_points.add(mp.id)
+
+    if (not local_keyframes
+            or n_current_frame_mps < parameters.minVisibleMapPointsInCurrentFrameBA
+            or len(local_keyframes) < parameters.minKeyframesInBA):
+        return set(local_map_points)
+
+    builder = _ProblemBuilder(settings)
+    for kf_id in sorted(local_keyframes):
+        builder.add_keyframe(map_db.keyframes[kf_id], fixed=(kf_id != keyframe.id))
+    for mp_id in sorted(local_map_points):
+        mp = map_db.map_points[mp_id]
+        builder.add_map_point(mp, fixed=False)
+        for kf_id in sorted(mp.observations):
+            if kf_id not in local_keyframes:
+                continue
+            builder.add_observation(map_db.keyframes[kf_id],
+                                    mp.observations[kf_id], mp)
+    # chain all local keyframes with odometry edges (descending id order,
+    # reference: bundle_adjuster.cpp:296-311)
+    other = KfId(-1)
+    for kf_id in sorted(local_keyframes, reverse=True):
+        if other.valid:
+            builder.add_odometry_edge(other, kf_id, map_db)
+        other = kf_id
+    for edge in map_db.loop_closure_edges:
+        builder.add_loop_edge(edge.kf_id1, edge.kf_id2, edge.pose_diff)
+
+    # stage 1: refine current keyframe only
+    result = builder.solve(iterations)
+
+    if n_current_frame_mps < parameters.minVisibleMapPointsInNeighborhoodBA:
+        builder.apply_poses(result, map_db, only={keyframe.id})
+        builder.apply_points(result, map_db)
+        workspace.ba_stats.update(Ba.NEIGHBOR)
+        return set(local_map_points)
+
+    # stage 2: unfix everything, soft-fix current orientation
+    stage1_poses = np.asarray(result.poses, np.float64)
+    current_slot = builder.kf_slot[keyframe.id]
+    builder.poses = [stage1_poses[i] for i in range(len(builder.kf_ids))]
+    builder.pose_fixed = [False] * len(builder.kf_ids)
+    builder.points = [np.asarray(result.points, np.float64)[i]
+                      for i in range(len(builder.mp_ids))]
+    builder.add_orientation_anchor(keyframe.id, stage1_poses[current_slot])
+    result = builder.solve(iterations)
+
+    builder.prune_outliers(result, map_db)
+    builder.apply_poses(result, map_db)
+    builder.apply_points(result, map_db)
+    workspace.ba_stats.update(Ba.LOCAL)
+    return set(local_map_points)
+
+
+def pose_bundle_adjust(keyframe: Keyframe, map_db: MapDB,
+                       settings: StaticSettings) -> bool:
+    """reference: bundle_adjuster.cpp:396-491"""
+    parameters = settings.parameters.slam
+    triangulated = [
+        (KpId(i), MpId(int(mp_val)))
+        for i, mp_val in enumerate(keyframe.map_points)
+        if mp_val >= 0
+        and map_db.map_points[MpId(int(mp_val))].status == MapPointStatus.TRIANGULATED]
+    if len(triangulated) < parameters.minVisibleMapPointsInCurrentFrameBA:
+        return False
+    if not keyframe.previous_kf_id.valid:
+        return False
+
+    builder = _ProblemBuilder(settings)
+    builder.add_keyframe(keyframe, fixed=False)
+    builder.add_keyframe(map_db.keyframes[keyframe.previous_kf_id], fixed=True)
+    builder.add_odometry_edge(keyframe.id, keyframe.previous_kf_id, map_db)
+    for kp_id, mp_id in triangulated:
+        mp = map_db.map_points[mp_id]
+        builder.add_map_point(mp, fixed=True)
+        builder.add_observation(keyframe, kp_id, mp)
+
+    result = builder.solve(parameters.poseBAIterations)
+    builder.apply_poses(result, map_db, only={keyframe.id})
+    return True
+
+
+def global_bundle_adjust(current_kf_id: KfId, map_db: MapDB,
+                         settings: StaticSettings) -> None:
+    """reference: bundle_adjuster.cpp:493-604"""
+    parameters = settings.parameters.slam
+    builder = _ProblemBuilder(settings)
+    for kf_id in sorted(map_db.keyframes):
+        # note: global BA FIXES the current keyframe (bundle_adjuster.cpp:515)
+        builder.add_keyframe(map_db.keyframes[kf_id], fixed=(kf_id == current_kf_id))
+    for mp_id in sorted(map_db.map_points):
+        mp = map_db.map_points[mp_id]
+        if not mp.observations:
+            continue
+        builder.add_map_point(mp, fixed=False)
+        for kf_id in sorted(mp.observations):
+            builder.add_observation(map_db.keyframes[kf_id],
+                                    mp.observations[kf_id], mp)
+    for kf_id in sorted(map_db.keyframes):
+        kf = map_db.keyframes[kf_id]
+        if kf.previous_kf_id.valid:
+            builder.add_odometry_edge(kf.id, kf.previous_kf_id, map_db)
+    for edge in map_db.loop_closure_edges:
+        ok = builder.add_loop_edge(edge.kf_id1, edge.kf_id2, edge.pose_diff)
+        assert ok
+    result = builder.solve(parameters.globalBAIterations)
+    builder.prune_outliers(result, map_db)
+    builder.apply_poses(result, map_db)
+    builder.apply_points(result, map_db)
+
+
+def _orthonormalize(T: np.ndarray) -> np.ndarray:
+    """Project the rotation back to SO(3) after float32 accumulation."""
+    U, _, Vt = np.linalg.svd(T[:3, :3])
+    R = U @ Vt
+    if np.linalg.det(R) < 0:
+        R = U @ np.diag([1.0, 1.0, -1.0]) @ Vt
+    out = np.eye(4)
+    out[:3, :3] = R
+    out[:3, 3] = T[:3, 3]
+    return out

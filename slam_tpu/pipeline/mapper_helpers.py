@@ -1,0 +1,646 @@
+"""The per-keyframe mapping pipeline.
+
+Rebuild of the reference's pipeline core (reference: mapper_helpers.cpp): the
+keyframe decision, track-to-map-point association, local-map matching, new
+map-point creation by triangulation, deduplication, culling, consistency
+audit, and the ``addKeyframeCommonInner/Outer`` orchestration
+(mapper_helpers.cpp:1011-1233).
+
+Host Python drives control flow; every dense numeric step (descriptor
+distances, RANSAC, bundle adjustment, retrieval) dispatches to the jitted
+kernels in `slam_tpu/ops`.
+"""
+from __future__ import annotations
+
+import math
+from typing import Callable, Dict, List, Optional, Set, Tuple
+
+import numpy as np
+
+from slam_tpu.geometry import triangulation as tri
+from slam_tpu.ids import KfId, KpId, MpId, TrackId, CURRENT_MAP_ID
+from slam_tpu.map.keyframe import Keyframe, MapperInput
+from slam_tpu.map.map_point import MapPoint, MapPointStatus
+from slam_tpu.map.mapdb import (MapDB, MapKf, MapPointRecord,
+                                MapPointRecordPosition)
+from slam_tpu.params import StaticSettings
+from slam_tpu.pipeline import matcher
+from slam_tpu.pipeline.adjacency import compute_adjacent_keyframes
+from slam_tpu.pipeline.bundle_adjustment import (WorkspaceBA,
+                                                global_bundle_adjust,
+                                                local_bundle_adjust,
+                                                pose_bundle_adjust)
+from slam_tpu.utils.stats import Ba
+from slam_tpu.utils.timer import timed
+
+CHI2_INV2D = 5.991  # reference: mapper_helpers.cpp:26
+
+
+def make_keyframe_decision(current_keyframe: Keyframe,
+                           previous_keyframe: Optional[Keyframe],
+                           current_track_ids: np.ndarray,
+                           parameters) -> bool:
+    """reference: mapper_helpers.cpp:28-65"""
+    if previous_keyframe is None:
+        return True
+    age = current_keyframe.t - previous_keyframe.t
+    assert age >= 0.0
+    if age < parameters.keyframeDecisionMinIntervalSeconds:
+        return False
+    distance = float(np.linalg.norm(current_keyframe.orig_pose_camera_center()
+                                    - previous_keyframe.orig_pose_camera_center()))
+    if distance > parameters.keyframeDecisionDistanceThreshold:
+        return True
+    prev_track_ids = set(int(t) for t in previous_keyframe.keypoint_to_track.values())
+    assert not current_keyframe.keypoint_to_track or True  # populated later
+    n_tracks = len(current_track_ids)
+    prev_covis = sum(1 for t in current_track_ids if int(t) in prev_track_ids)
+    max_covis = float(n_tracks) * parameters.keyframeDecisionCovisibilityRatio
+    return prev_covis <= max_covis
+
+
+@timed
+def match_tracked_features(current_keyframe: Keyframe, map_db: MapDB,
+                           settings: StaticSettings) -> None:
+    """Associate LK tracks with map points; create/triangulate as needed
+    (reference: mapper_helpers.cpp:67-142)."""
+    parameters = settings.parameters.slam
+    for v in range(current_keyframe.shared.num_keypoints):
+        kp_id = KpId(v)
+        track_id = current_keyframe.keypoint_to_track.get(kp_id)
+        if track_id is None:
+            continue
+        mp_id = map_db.track_id_to_map_point.get(track_id)
+        if mp_id is not None:
+            map_point = map_db.map_points[mp_id]
+            if map_point.status != MapPointStatus.TRIANGULATED:
+                map_point.add_observation(current_keyframe.id, kp_id)
+                current_keyframe.add_observation(map_point.id, kp_id)
+                triangulate_map_point_first_last_obs(map_db, map_point, settings)
+            else:
+                if not current_keyframe.is_in_frustum(map_point):
+                    continue
+                if not check_reprojection_error(
+                        map_point.position, current_keyframe, settings, kp_id,
+                        parameters.relativeReprojectionErrorThreshold):
+                    continue
+                map_point.add_observation(current_keyframe.id, kp_id)
+                current_keyframe.add_observation(map_point.id, kp_id)
+            if map_point.status == MapPointStatus.TRIANGULATED:
+                if current_keyframe.has_full_features:
+                    map_point.update_descriptor(map_db)
+                map_point.update_distance_and_norm(map_db, settings)
+        elif current_keyframe.has_full_features:
+            # create a fresh map point for this track
+            new_id = map_db.next_mp_id()
+            map_point = MapPoint(new_id, current_keyframe.id, kp_id)
+            current_keyframe.add_observation(map_point.id, kp_id)
+            map_db.map_points[new_id] = map_point
+            map_point.update_descriptor(map_db)
+            map_point.track_id = track_id
+            map_point.color = current_keyframe.get_keypoint_color(kp_id)
+            map_db.track_id_to_map_point[track_id] = map_point.id
+
+
+@timed
+def match_local_map_points(current_keyframe: Keyframe,
+                           adjacent_kf_ids: List[KfId], map_db: MapDB,
+                           settings: StaticSettings) -> None:
+    """reference: mapper_helpers.cpp:231-269"""
+    parameters = settings.parameters.slam
+    unique_mps: Set[MpId] = set()
+    for kf_id in adjacent_kf_ids:
+        kf = map_db.keyframes[kf_id]
+        for mp_val in kf.map_points:
+            if mp_val >= 0:
+                unique_mps.add(MpId(int(mp_val)))
+    local_mps = []
+    for mp_id in sorted(unique_mps):
+        mp = map_db.map_points[mp_id]
+        if (mp.status not in (MapPointStatus.NOT_TRIANGULATED, MapPointStatus.BAD)
+                and current_keyframe.id not in mp.observations
+                and current_keyframe.is_in_frustum(mp)):
+            local_mps.append(mp.id)
+    if not local_mps:
+        return
+    r = get_focal_length(current_keyframe) * parameters.relativeReprojectionErrorThreshold
+    matcher.search_by_projection(current_keyframe, local_mps, map_db, r, settings)
+
+
+@timed
+def create_new_map_points(current_keyframe: Keyframe,
+                          adjacent_kf_ids: List[KfId], map_db: MapDB,
+                          settings: StaticSettings) -> None:
+    """reference: mapper_helpers.cpp:271-318"""
+    for kf_id in adjacent_kf_ids:
+        if kf_id == current_keyframe.id:
+            continue
+        keyframe = map_db.keyframes[kf_id]
+        matches = matcher.match_for_triangulation(current_keyframe, keyframe,
+                                                 settings)
+        for kp_cur, kp_adj in matches:
+            mp_id = map_db.next_mp_id()
+            map_point = MapPoint(mp_id, keyframe.id, kp_adj)
+            map_point.color = keyframe.get_keypoint_color(kp_adj)
+            map_point.add_observation(current_keyframe.id, kp_cur)
+            triangulate_map_point(map_db, map_point, settings)
+            if map_point.status != MapPointStatus.NOT_TRIANGULATED:
+                current_keyframe.add_observation(map_point.id, kp_cur)
+                keyframe.add_observation(map_point.id, kp_adj)
+                map_db.map_points[mp_id] = map_point
+                map_point.update_descriptor(map_db)
+            # note: the reference creates the MapPoint object before the
+            # triangulation check and only registers it on success
+            # (mapper_helpers.cpp:302-316)
+
+
+@timed
+def deduplicate_map_points(current_keyframe: Keyframe,
+                           adjacent_kf_ids: List[KfId], map_db: MapDB,
+                           settings: StaticSettings) -> None:
+    """reference: mapper_helpers.cpp:320-347"""
+    margin = (get_focal_length(current_keyframe)
+              * settings.parameters.slam.relativeReprojectionErrorThreshold)
+    for kf_id in adjacent_kf_ids:
+        adjacent = map_db.keyframes[kf_id]
+        mp_ids = [MpId(int(v)) for v in current_keyframe.map_points if v >= 0]
+        matcher.replace_duplication(adjacent, mp_ids, margin, map_db, settings)
+    adjacent_mps: Set[MpId] = set()
+    for kf_id in adjacent_kf_ids:
+        adjacent = map_db.keyframes[kf_id]
+        for mp_val in adjacent.map_points:
+            if mp_val >= 0:
+                adjacent_mps.add(MpId(int(mp_val)))
+    matcher.replace_duplication(current_keyframe, sorted(adjacent_mps), margin,
+                                map_db, settings)
+
+
+@timed
+def cull_map_points(current_keyframe: Keyframe, map_db: MapDB,
+                    parameters) -> None:
+    """reference: mapper_helpers.cpp:349-373"""
+    for mp_id in list(map_db.map_points):
+        mp = map_db.map_points.get(mp_id)
+        if mp is None:
+            continue
+        if not mp.observations:
+            map_db.remove_map_point(mp)
+            continue
+        obs_age = current_keyframe.t - map_db.keyframes[mp.get_first_observation()].t
+        if (current_keyframe.id not in mp.observations
+                and obs_age > parameters.minMapPointCullingAge
+                and mp.status != MapPointStatus.TRIANGULATED):
+            map_db.remove_map_point(mp)
+
+
+def remove_keyframe(kf_id: KfId, map_db: MapDB, bow_index=None) -> None:
+    """reference: mapper_helpers.cpp:375-431"""
+    keyframe = map_db.keyframes[kf_id]
+    for edge in map_db.loop_closure_edges:
+        assert kf_id != edge.kf_id1 and kf_id != edge.kf_id2
+    if bow_index is not None:
+        bow_index.remove(MapKf(CURRENT_MAP_ID, kf_id))
+
+    prev = keyframe.previous_kf_id
+    nxt = keyframe.next_kf_id
+    assert prev.valid, "Cannot delete first keyframe"
+
+    to_erase = set()
+    for mp_val in keyframe.map_points:
+        if mp_val < 0:
+            continue
+        mp = map_db.map_points[MpId(int(mp_val))]
+        mp.erase_observation(keyframe.id)
+        if not mp.observations:
+            to_erase.add(mp.id)
+    for mp_id in sorted(to_erase):
+        map_db.remove_map_point(map_db.map_points[mp_id])
+
+    if nxt.valid:
+        next_kf = map_db.keyframes[nxt]
+        next_kf.uncertainty = next_kf.uncertainty + keyframe.uncertainty
+        next_kf.previous_kf_id = prev
+    if prev.valid:
+        map_db.keyframes[prev].next_kf_id = nxt
+    for mp in map_db.map_points.values():
+        if mp.reference_keyframe == keyframe.id:
+            mp.reference_keyframe = prev
+    del map_db.keyframes[kf_id]
+
+
+@timed
+def cull_keyframes(adjacent_kf_ids: List[KfId], map_db: MapDB, bow_index,
+                   parameters) -> None:
+    """reference: mapper_helpers.cpp:433-482"""
+    current_kf_id = max(map_db.keyframes)
+    for kf_id in sorted(adjacent_kf_ids, reverse=True):
+        assert kf_id != current_kf_id
+        kf = map_db.keyframes.get(kf_id)
+        if kf is None:
+            continue
+        if not kf.previous_kf_id.valid:
+            continue
+        if any(kf_id in (e.kf_id1, e.kf_id2) for e in map_db.loop_closure_edges):
+            continue
+        n_map_points = 0
+        n_critical = 0
+        for mp_val in kf.map_points:
+            if mp_val < 0:
+                continue
+            n_map_points += 1
+            if (len(map_db.map_points[MpId(int(mp_val))].observations)
+                    <= parameters.minObservationsForBA):
+                n_critical += 1
+        if n_critical < n_map_points * parameters.keyframeCullMaxCriticalRatio:
+            remove_keyframe(kf.id, map_db, bow_index)
+
+
+def check_consistency(map_db: MapDB) -> None:
+    """Bidirectional link + chain audit (reference: mapper_helpers.cpp:499-549).
+
+    Raises AssertionError on violation; used by tests after every episode and
+    by the mapper at end()."""
+    for kf_id, kf in map_db.keyframes.items():
+        assert kf_id == kf.id
+        for mp_val in kf.map_points:
+            if mp_val >= 0:
+                mp = map_db.map_points[MpId(int(mp_val))]
+                assert kf_id in mp.observations, \
+                    "Keyframe has reference to MapPoint but MapPoint not to Keyframe"
+    for mp_id, mp in map_db.map_points.items():
+        assert mp_id == mp.id
+        for kf_id in mp.observations:
+            kf = map_db.keyframes[kf_id]
+            assert int(mp_id) in kf.map_points.tolist(), \
+                "MapPoint has reference to Keyframe but Keyframe not to MapPoint"
+    if map_db.keyframes:
+        ids = set()
+        kf_id = max(map_db.keyframes)
+        while True:
+            assert kf_id not in ids
+            ids.add(kf_id)
+            nxt = map_db.keyframes[kf_id].previous_kf_id
+            if not nxt.valid:
+                break
+            kf_id = nxt
+        assert kf_id == min(map_db.keyframes)
+        ids.clear()
+        while True:
+            assert kf_id not in ids
+            ids.add(kf_id)
+            nxt = map_db.keyframes[kf_id].next_kf_id
+            if not nxt.valid:
+                break
+            kf_id = nxt
+        assert kf_id == max(map_db.keyframes)
+
+
+def check_positive_depth(position_w: np.ndarray, pose_cw: np.ndarray) -> bool:
+    """reference: mapper_helpers.cpp:551-557"""
+    z = float(pose_cw[2, :3] @ position_w + pose_cw[2, 3])
+    return z > 0
+
+
+def get_focal_length(kf: Keyframe) -> int:
+    """reference: mapper_helpers.cpp:571-574"""
+    return kf.shared.camera.get_focal_length()
+
+
+def check_reprojection_error(pos: np.ndarray, kf: Keyframe,
+                             settings: StaticSettings, kp_id: KpId,
+                             relative_threshold: float) -> bool:
+    """Octave-scaled chi2 reprojection gate (reference:
+    mapper_helpers.cpp:576-598)."""
+    reprojected, ok = kf.reproject(pos)
+    if not ok:
+        return False
+    point = kf.shared.pts[int(kp_id)]
+    rel_sigma_base = get_focal_length(kf) * relative_threshold
+    ref_scale = len(settings.scaleFactors) // 2
+    octave = int(kf.shared.octave[int(kp_id)])
+    sigma2 = (settings.levelSigmaSq[octave] / settings.levelSigmaSq[ref_scale]
+              * rel_sigma_base * rel_sigma_base)
+    err = float(np.sum((reprojected - point) ** 2))
+    return err <= CHI2_INV2D * sigma2
+
+
+def triangulate_map_point(map_db: MapDB, map_point: MapPoint,
+                          settings: StaticSettings,
+                          method: str = "tme") -> None:
+    """reference: mapper_helpers.cpp:600-722"""
+    parameters = settings.parameters.slam
+    was_triangulated = map_point.status != MapPointStatus.NOT_TRIANGULATED
+    map_point.status = MapPointStatus.NOT_TRIANGULATED
+    obs = sorted(map_point.observations.items())
+    if len(obs) < 2:
+        return
+
+    rays_w = []
+    depth_triangulated = False
+    for kf_id, kp_id in obs:
+        kf = map_db.keyframes[kf_id]
+        depth = float(kf.keypoint_depth[int(kp_id)])
+        bearing = kf.shared.bearings[int(kp_id)]
+        if depth > 0 and not was_triangulated:
+            map_point.position = (depth * kf.camera_to_world_rotation() @ bearing
+                                  + kf.camera_center())
+            depth_triangulated = True
+            break
+        rays_w.append(kf.camera_to_world_rotation() @ bearing)
+
+    status_if_ok = MapPointStatus.UNSURE
+    if not depth_triangulated:
+        if len(obs) > 2 and tri.check_triangulation_angle(
+                np.array(rays_w), parameters.minTriangulationAngleMultipleObs):
+            status_if_ok = MapPointStatus.TRIANGULATED
+        elif not tri.check_triangulation_angle(
+                np.array(rays_w), parameters.minTriangulationAngleTwoObs):
+            return
+
+    if depth_triangulated:
+        point = map_point.position
+    elif method == "midpoint":
+        origins, rays = [], []
+        for kf_id, kp_id in obs:
+            kf = map_db.keyframes[kf_id]
+            origins.append(kf.camera_center())
+            rays.append(kf.camera_to_world_rotation() @ kf.shared.bearings[int(kp_id)])
+        Xh, ok = tri.triangulate_midpoint(np.array(origins), np.array(rays))
+        if not ok:
+            return
+        point = Xh[:3] / Xh[3]
+    else:
+        poses, normalized = [], []
+        for kf_id, kp_id in obs:
+            kf = map_db.keyframes[kf_id]
+            npix, ok = kf.shared.camera.normalize_pixel(kf.shared.pts[int(kp_id)])
+            if ok:
+                normalized.append(npix)
+                poses.append(kf.pose_cw[:3])
+        if len(normalized) < 2:
+            return
+        if len(normalized) == 2:
+            Xh, ok = tri.triangulate_two_view(poses[0], poses[1],
+                                              normalized[0], normalized[1])
+        else:
+            Xh, ok = tri.triangulate_n_view(np.array(poses), np.array(normalized))
+        if not ok or abs(Xh[3]) < 1e-12:
+            return
+        point = Xh[:3] / Xh[3]
+
+    for kf_id, kp_id in obs:
+        kf = map_db.keyframes[kf_id]
+        if not check_positive_depth(point, kf.pose_cw):
+            return
+        if not check_reprojection_error(
+                point, kf, settings, kp_id,
+                parameters.relativeReprojectionErrorThreshold):
+            return
+
+    map_point.position = np.asarray(point, np.float64)
+    map_point.status = status_if_ok
+
+
+def triangulate_map_point_first_last_obs(map_db: MapDB, map_point: MapPoint,
+                                         settings: StaticSettings) -> None:
+    """reference: mapper_helpers.cpp:724-812"""
+    parameters = settings.parameters.slam
+    map_point.status = MapPointStatus.NOT_TRIANGULATED
+    if len(map_point.observations) < 2:
+        return
+    first_kf = map_db.keyframes[map_point.get_first_observation()]
+    last_kf = map_db.keyframes[map_point.get_last_observation()]
+    first_kp = int(map_point.observations[first_kf.id])
+    last_kp = int(map_point.observations[last_kf.id])
+
+    depth = float(last_kf.keypoint_depth[last_kp])
+    if depth > 0:
+        map_point.position = (
+            depth * last_kf.camera_to_world_rotation() @ last_kf.shared.bearings[last_kp]
+            + last_kf.camera_center())
+    else:
+        if settings.parameters.slam.computeDenseStereoDepth:
+            return  # skipping depth-free points (mapper_helpers.cpp:748)
+        rays_w = np.array([
+            first_kf.camera_to_world_rotation() @ first_kf.shared.bearings[first_kp],
+            last_kf.camera_to_world_rotation() @ last_kf.shared.bearings[last_kp]])
+        if not tri.check_triangulation_angle(
+                rays_w, parameters.minTriangulationAngleTwoObs):
+            return
+        n1, ok1 = first_kf.shared.camera.normalize_pixel(first_kf.shared.pts[first_kp])
+        n2, ok2 = last_kf.shared.camera.normalize_pixel(last_kf.shared.pts[last_kp])
+        if not (ok1 and ok2):
+            return
+        Xh, ok = tri.triangulate_two_view(first_kf.pose_cw[:3], last_kf.pose_cw[:3],
+                                          n1, n2)
+        if not ok or abs(Xh[3]) < 1e-12:
+            return
+        map_point.position = Xh[:3] / Xh[3]
+
+    n_ok = 0
+    for kf_id, kp_id in sorted(map_point.observations.items()):
+        if check_reprojection_error(
+                map_point.position, map_db.keyframes[kf_id], settings, kp_id,
+                parameters.relativeReprojectionErrorThreshold):
+            n_ok += 1
+    if n_ok < 2:
+        return
+    map_point.status = (MapPointStatus.TRIANGULATED
+                        if len(map_point.observations) > 2
+                        else MapPointStatus.UNSURE)
+    map_point.update_descriptor(map_db)
+
+
+def set_point_cloud_output(map_db: MapDB, kf: Keyframe) -> List[dict]:
+    """reference: mapper_helpers.cpp:484-497"""
+    out = []
+    for mp_val in kf.map_points:
+        if mp_val < 0:
+            continue
+        mp = map_db.map_points[MpId(int(mp_val))]
+        if mp.status == MapPointStatus.TRIANGULATED:
+            out.append({"id": int(mp.id), "trackId": int(mp.track_id),
+                        "position": mp.position.copy()})
+    return out
+
+
+def update_point_cloud_recording(t: float,
+                                 records: Dict[MpId, MapPointRecord],
+                                 map_points: Dict[MpId, MapPoint]) -> None:
+    """reference: mapper_helpers.cpp:881-909"""
+    for mp_id, mp in map_points.items():
+        if len(mp.observations) < 4:
+            continue
+        p = mp.position.astype(np.float32)
+        if mp_id not in records:
+            records[mp_id] = MapPointRecord(
+                positions=[MapPointRecordPosition(t, p)], normal=mp.norm.copy())
+        elif not np.array_equal(records[mp_id].positions[-1].p, p):
+            records[mp_id].positions.append(MapPointRecordPosition(t, p))
+            records[mp_id].normal = mp.norm.copy()
+    p0 = np.zeros(3, np.float32)
+    for mp_id, rec in records.items():
+        if not rec.removed and mp_id not in map_points:
+            rec.removed = True
+            rec.positions.append(MapPointRecordPosition(t, p0))
+
+
+# ---------------------------------------------------------------------------
+# addKeyframe orchestration (reference: mapper_helpers.cpp:1011-1278)
+# ---------------------------------------------------------------------------
+
+
+def add_keyframe_common_inner(map_db: MapDB, current_keyframe: Keyframe,
+                              kf_decision: bool, settings: StaticSettings,
+                              workspace_ba: Optional[WorkspaceBA] = None,
+                              loop_closer=None, bow_index=None,
+                              viewer_publisher=None) -> None:
+    """reference: mapper_helpers.cpp:1011-1131"""
+    ps = settings.parameters.slam
+    current_keyframe.uncertainty = (current_keyframe.uncertainty
+                                    + map_db.discarded_uncertainty)
+    is_backend = loop_closer is not None
+    match_tracked_features(current_keyframe, map_db, settings)
+
+    adjacent_kf_ids = compute_adjacent_keyframes(
+        current_keyframe, 5, ps.adjacentSpaceSize, map_db, settings)
+    map_db.adjacent_kf_ids = adjacent_kf_ids
+
+    if kf_decision and is_backend:
+        match_local_map_points(current_keyframe, adjacent_kf_ids, map_db, settings)
+    else:
+        if ps.nonKeyFramePoseAdjustment:
+            if pose_bundle_adjust(current_keyframe, map_db, settings):
+                if is_backend:
+                    workspace_ba.ba_stats.update(Ba.POSE)
+        return
+
+    if not is_backend:
+        return
+    assert workspace_ba is not None and bow_index is not None
+
+    create_new_map_points(current_keyframe, adjacent_kf_ids, map_db, settings)
+    deduplicate_map_points(current_keyframe, adjacent_kf_ids, map_db, settings)
+
+    # refresh descriptors / norms; promote or demote by observation count
+    # (mapper_helpers.cpp:1061-1077)
+    for mp_val in current_keyframe.map_points:
+        if mp_val < 0:
+            continue
+        mp = map_db.map_points[MpId(int(mp_val))]
+        if mp.status in (MapPointStatus.NOT_TRIANGULATED, MapPointStatus.BAD):
+            continue
+        mp.update_descriptor(map_db)
+        mp.update_distance_and_norm(map_db, settings)
+        if len(mp.observations) >= ps.minObservationsForBA:
+            mp.status = MapPointStatus.TRIANGULATED
+        else:
+            mp.status = MapPointStatus.UNSURE
+
+    if ps.applyLocalBundleAdjustment:
+        local_bundle_adjust(current_keyframe, workspace_ba, map_db,
+                            ps.localBAProblemSize, settings)
+        # retriangulate current-KF points not locked in by BA
+        # (mapper_helpers.cpp:1084-1092)
+        for mp_val in current_keyframe.map_points:
+            if mp_val < 0:
+                continue
+            mp = map_db.map_points[MpId(int(mp_val))]
+            if mp.status != MapPointStatus.TRIANGULATED or len(mp.observations) >= 2:
+                triangulate_map_point(map_db, mp, settings)
+
+    cull_map_points(current_keyframe, map_db, ps)
+    cull_keyframes(adjacent_kf_ids, map_db, bow_index, ps)
+
+    bow_index.add(current_keyframe, CURRENT_MAP_ID)
+    closed_loop = loop_closer.try_loop_closure(current_keyframe, adjacent_kf_ids)
+    if closed_loop:
+        if ps.globalBAAfterLoop:
+            global_bundle_adjust(current_keyframe.id, map_db, settings)
+            workspace_ba.ba_stats.update(Ba.GLOBAL)
+        else:
+            local_bundle_adjust(current_keyframe, workspace_ba, map_db,
+                                ps.loopClosureLocalBAProblemSize, settings)
+
+    if ps.pointCloudSavePath:
+        update_point_cloud_recording(current_keyframe.t,
+                                     map_db.map_point_records, map_db.map_points)
+    if viewer_publisher is not None:
+        viewer_publisher.publish_map(map_db, workspace_ba, settings.parameters.slam)
+
+
+def add_keyframe_common_outer(map_db: MapDB, keyframe: Keyframe,
+                              keyframe_decision: bool,
+                              mapper_input: MapperInput,
+                              settings: StaticSettings,
+                              workspace_ba=None, loop_closer=None,
+                              orb_extractor=None, bow_index=None,
+                              viewer_publisher=None
+                              ) -> Tuple[KfId, np.ndarray, List[dict]]:
+    """reference: mapper_helpers.cpp:1133-1233. Returns (kf id, result pose,
+    point cloud)."""
+    pose_trail = mapper_input.pose_trail
+    if settings.parameters.slam.useFullPoseTrail:
+        # resync existing keyframe odometry poses from the trail
+        # (mapper_helpers.cpp:1149-1170)
+        for pose in pose_trail[1:]:
+            kf_id = KfId(pose.frame_number)
+            if kf_id in map_db.keyframes:
+                map_db.keyframes[kf_id].orig_pose_cw = np.array(pose.pose_cw)
+        # drop keyframes that odometry removed from its trail
+        # (mapper_helpers.cpp:1172-1183)
+        last_frame = KfId(pose_trail[-1].frame_number)
+        trail_numbers = {p.frame_number for p in pose_trail}
+        kf = map_db.latest_keyframe()
+        while (kf is not None and kf.next_kf_id.valid and kf.id <= last_frame):
+            frame_number = int(kf.id)
+            nxt = map_db.keyframes.get(kf.next_kf_id)
+            if frame_number not in trail_numbers:
+                remove_keyframe(KfId(frame_number), map_db, bow_index)
+            kf = nxt
+
+    is_backend = orb_extractor is not None
+    keyframe.shared = keyframe.shared.clone()
+    if keyframe_decision and is_backend:
+        keyframe.add_full_features(mapper_input, orb_extractor, bow_index)
+    else:
+        keyframe.add_tracker_features(mapper_input)
+
+    current = map_db.insert_new_keyframe_candidate(
+        keyframe, keyframe_decision, pose_trail, settings.parameters.slam)
+
+    add_keyframe_common_inner(map_db, current, keyframe_decision, settings,
+                              workspace_ba, loop_closer, bow_index,
+                              viewer_publisher)
+
+    map_db.update_prev_pose(current, keyframe_decision, pose_trail,
+                            settings.parameters)
+    current_id = current.id
+    result_pose = current.pose_cw.copy()
+    point_cloud = set_point_cloud_output(map_db, current)
+
+    if not keyframe_decision:
+        map_db.discarded_uncertainty = current.uncertainty.copy()
+        remove_keyframe(current.id, map_db, bow_index)
+    else:
+        map_db.discarded_uncertainty = np.zeros((3, 6))
+    return current_id, result_pose, point_cloud
+
+
+def add_keyframe_frontend(map_db: MapDB, keyframe: Keyframe, kf_decision: bool,
+                          mapper_input: MapperInput, settings: StaticSettings
+                          ) -> Tuple[KfId, np.ndarray, List[dict]]:
+    """reference: mapper_helpers.cpp:1235-1247"""
+    return add_keyframe_common_outer(map_db, keyframe, kf_decision,
+                                     mapper_input, settings)
+
+
+def add_keyframe_backend(map_db: MapDB, keyframe: Keyframe,
+                         keyframe_decision: bool, mapper_input: MapperInput,
+                         settings: StaticSettings, workspace_ba, loop_closer,
+                         orb_extractor, bow_index, viewer_publisher=None
+                         ) -> Tuple[KfId, np.ndarray, List[dict]]:
+    """reference: mapper_helpers.cpp:1249-1278"""
+    return add_keyframe_common_outer(
+        map_db, keyframe, keyframe_decision, mapper_input, settings,
+        workspace_ba, loop_closer, orb_extractor, bow_index, viewer_publisher)

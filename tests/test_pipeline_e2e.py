@@ -1,0 +1,160 @@
+"""End-to-end backend pipeline tests on the synthetic world."""
+import os
+
+import numpy as np
+import pytest
+
+from slam_tpu.geometry import se3
+from slam_tpu.ids import MpId
+from slam_tpu.map.map_point import MapPointStatus
+from slam_tpu.params import Parameters, ParametersSlam
+from slam_tpu.pipeline.mapper import Mapper
+from slam_tpu.pipeline.mapper_helpers import check_consistency
+
+from synthetic_world import (FakeOrbExtractor, TrackSimulator, make_mapper_input,
+                             make_world)
+
+
+def default_params(**overrides):
+    base = dict(
+        keyframeDecisionMinIntervalSeconds=0.0,
+        keyframeDecisionCovisibilityRatio=0.95,
+        minVisibleMapPointsInCurrentFrameBA=8,
+        localBAProblemSize=12,
+        adjacentSpaceSize=10,
+        useFrontendSlam=False)
+    base.update(overrides)
+    return Parameters(slam=ParametersSlam(**base))
+
+
+def run_sequence(world, params, n_frames=None, with_depth=False):
+    extractor = FakeOrbExtractor(world)
+    tracker = TrackSimulator(world)
+    mapper = Mapper(params, orb_extractor=extractor)
+    poses = []
+    for i in range(n_frames or len(world.poses_cw)):
+        mi = make_mapper_input(world, i, tracker, with_depth=with_depth)
+        pose, cloud = mapper.advance(mi)
+        poses.append(pose)
+    return mapper, poses
+
+
+class TestBackendOnlyVO:
+    def test_straight_line_recovers_trajectory(self):
+        world = make_world(n_frames=30, n_landmarks=300, odom_noise=0.0)
+        params = default_params()
+        mapper, poses = run_sequence(world, params)
+        check_consistency(mapper.map_db)
+        assert len(mapper.map_db.keyframes) >= 5
+        # with perfect odometry the SLAM poses must match the ground truth
+        errs = []
+        for i, pose in enumerate(poses):
+            errs.append(np.linalg.norm(se3.camera_center(pose)
+                                       - se3.camera_center(world.poses_cw[i])))
+        assert np.median(errs) < 0.05, np.median(errs)
+
+    def test_map_points_triangulated_near_truth(self):
+        world = make_world(n_frames=30, n_landmarks=300)
+        params = default_params()
+        mapper, _ = run_sequence(world, params)
+        db = mapper.map_db
+        tri = [mp for mp in db.map_points.values()
+               if mp.status == MapPointStatus.TRIANGULATED]
+        assert len(tri) > 50, len(tri)
+        errs = []
+        for mp in tri:
+            # track id == landmark index in the synthetic world
+            if mp.track_id >= 0:
+                errs.append(np.linalg.norm(
+                    mp.position - world.landmarks[int(mp.track_id)]))
+        assert len(errs) > 20
+        assert np.median(errs) < 0.1, np.median(errs)
+
+    def test_consistency_after_noisy_run(self):
+        world = make_world(n_frames=40, n_landmarks=250, odom_noise=0.002)
+        extractor = FakeOrbExtractor(world, pix_noise=0.3)
+        tracker = TrackSimulator(world)
+        mapper = Mapper(default_params(), orb_extractor=extractor)
+        for i in range(40):
+            mapper.advance(make_mapper_input(world, i, tracker))
+        check_consistency(mapper.map_db)
+        assert mapper.end("")
+
+    def test_keyframe_decision_interval(self):
+        world = make_world(n_frames=20)
+        params = default_params(keyframeDecisionMinIntervalSeconds=0.5,
+                                keyframeDecisionDistanceThreshold=100.0)
+        mapper, _ = run_sequence(world, params)
+        # 20 frames at 10 fps with 0.5 s min interval -> ~4-5 keyframes
+        # (non-keyframes are processed then discarded)
+        assert len(mapper.map_db.keyframes) <= 6
+
+    def test_depth_seeded_triangulation(self):
+        world = make_world(n_frames=15, n_landmarks=200)
+        mapper, _ = run_sequence(world, default_params(), with_depth=True)
+        tri = [mp for mp in mapper.map_db.map_points.values()
+               if mp.status != MapPointStatus.NOT_TRIANGULATED and mp.track_id >= 0]
+        assert len(tri) > 30
+
+    def test_ba_stats_accumulate(self):
+        world = make_world(n_frames=12)
+        mapper, _ = run_sequence(world, default_params())
+        totals = mapper.workspace_ba.ba_stats.totals
+        assert sum(totals.values()) > 0
+
+
+class TestSerializationRoundTrip:
+    def test_save_load(self, tmp_path):
+        from slam_tpu.map.serialization import load_map_db, save_map_db
+        world = make_world(n_frames=20, n_landmarks=200)
+        mapper, _ = run_sequence(world, default_params())
+        path = str(tmp_path / "map.npz")
+        save_map_db(mapper.map_db, path)
+        db2 = load_map_db(None, None, path)
+        assert set(db2.keyframes) == set(mapper.map_db.keyframes)
+        assert set(db2.map_points) == set(mapper.map_db.map_points)
+        for kf_id, kf in mapper.map_db.keyframes.items():
+            kf2 = db2.keyframes[kf_id]
+            assert np.allclose(kf2.pose_cw, kf.pose_cw)
+            assert np.array_equal(kf2.shared.descriptors, kf.shared.descriptors)
+            assert np.array_equal(kf2.map_points, kf.map_points)
+            assert kf2.shared.feature_search is not None
+        for mp_id, mp in mapper.map_db.map_points.items():
+            mp2 = db2.map_points[mp_id]
+            assert np.allclose(mp2.position, mp.position)
+            assert mp2.observations == mp.observations
+            assert mp2.status == mp.status
+        check_consistency(db2)
+
+    def test_trajectory_csv(self, tmp_path):
+        from slam_tpu.map.serialization import save_trajectory_csv
+        world = make_world(n_frames=12)
+        mapper, _ = run_sequence(world, default_params())
+        path = str(tmp_path / "traj.csv")
+        save_trajectory_csv(mapper.map_db, path)
+        lines = open(path).read().strip().splitlines()
+        assert len(lines) == len(mapper.map_db.keyframes)
+        row = [float(v) for v in lines[0].split(",")]
+        assert len(row) == 8  # t, xyz, quat
+
+
+class TestFrontendBackendThreaded:
+    def test_dual_map_mode_runs(self):
+        world = make_world(n_frames=24, n_landmarks=250)
+        extractor = FakeOrbExtractor(world)
+        tracker = TrackSimulator(world)
+        params = default_params(useFrontendSlam=True,
+                                backendProcessDelay=2,
+                                copySlamMapEveryNSlamFrames=4,
+                                deterministicSlamMapCopy=True)
+        mapper = Mapper(params, orb_extractor=extractor)
+        poses = []
+        for i in range(24):
+            pose, _ = mapper.advance(make_mapper_input(world, i, tracker))
+            poses.append(pose)
+        assert mapper.end("")
+        check_consistency(mapper.map_db)
+        errs = [np.linalg.norm(se3.camera_center(p)
+                               - se3.camera_center(world.poses_cw[i]))
+                for i, p in enumerate(poses)]
+        assert np.median(errs) < 0.1
