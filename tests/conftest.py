@@ -21,3 +21,6 @@ jax.config.update("jax_platforms", "cpu")
 
 assert jax.default_backend() == "cpu", jax.default_backend()
 assert len(jax.devices()) == 8, jax.devices()
+
+def pytest_configure(config):
+    config.addinivalue_line("markers", "slow: long-running integration tests")

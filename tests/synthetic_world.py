@@ -28,7 +28,8 @@ class SyntheticWorld:
 
 
 def make_world(n_frames=40, n_landmarks=400, seed=0, trajectory="line",
-               odom_noise=0.0, odom_drift=0.0, fps=10.0, camera=None):
+               odom_noise=0.0, odom_drift=0.0, fps=10.0, camera=None,
+               lap_frames=None):
     rng = np.random.default_rng(seed)
     camera = camera or default_camera(640, 480)
 
@@ -37,8 +38,9 @@ def make_world(n_frames=40, n_landmarks=400, seed=0, trajectory="line",
         yaws = [0.0] * n_frames
         lows, highs = [-2, -2, 2.0], [0.12 * n_frames + 2, 2, 8.0]
     elif trajectory == "loop":
-        # square loop in the x-z plane, camera looking forward along the path
-        per_side = n_frames // 4
+        # square loop in the x-z plane; frames beyond one lap (lap_frames)
+        # revisit the start of the loop with identical poses
+        per_side = (lap_frames or n_frames) // 4
         centers, yaws = [], []
         side_len = 0.15 * per_side
         heading = [0.0, np.pi / 2, np.pi, 3 * np.pi / 2]
@@ -47,8 +49,9 @@ def make_world(n_frames=40, n_landmarks=400, seed=0, trajectory="line",
                    np.array([side_len, 0.0, side_len]),
                    np.array([0.0, 0.0, side_len])]
         for i in range(n_frames):
-            side = min(i // per_side, 3)
-            frac = (i - side * per_side) / per_side
+            j = i % (4 * per_side)  # wrap: frames past one lap revisit the start
+            side = j // per_side
+            frac = (j - side * per_side) / per_side
             d = heading[side]
             step = np.array([np.cos(d), 0.0, np.sin(d)]) * side_len * frac
             centers.append(corners[side] + step)
@@ -92,32 +95,79 @@ def visible_landmarks(world: SyntheticWorld, frame: int, margin=20.0):
     return np.where(ok)[0], pix
 
 
+class TrackSimulator:
+    """Simulated LK tracker: persistent tracks on a subset of landmarks.
+
+    Like a real LK tracker, a landmark that leaves the view and is later
+    re-acquired gets a FRESH track id (no re-identification) — loop closures
+    must come from appearance, not track ids.
+    """
+
+    def __init__(self, world: SyntheticWorld, max_tracks=60, seed=2):
+        self.world = world
+        self.max_tracks = max_tracks
+        self.rng = np.random.default_rng(seed)
+        self.active: dict = {}           # track_id -> landmark index
+        self.track_to_landmark: dict = {}  # all-time mapping
+        self._next_id = 0
+
+    def tracks_for_frame(self, frame: int):
+        vis, pix = visible_landmarks(self.world, frame)
+        vis_set = set(int(v) for v in vis)
+        self.active = {t: li for t, li in self.active.items() if li in vis_set}
+        tracked_landmarks = set(self.active.values())
+        for li in vis:
+            if len(self.active) >= self.max_tracks:
+                break
+            if int(li) not in tracked_landmarks:
+                tid = self._next_id
+                self._next_id += 1
+                self.active[tid] = int(li)
+                self.track_to_landmark[tid] = int(li)
+                tracked_landmarks.add(int(li))
+        ids = np.array(sorted(self.active), np.int64)
+        lms = np.array([self.active[int(t)] for t in ids], np.int64)
+        pts = pix[lms].astype(np.float32)
+        return ids, pts
+
+    def landmarks_of(self, ids) -> np.ndarray:
+        return np.array([self.track_to_landmark[int(t)] for t in ids], np.int64)
+
+
 class FakeOrbExtractor:
     """Front-end stub: keypoints are projections of visible landmarks.
 
-    Track ids equal landmark indices (the harness's simulated LK tracker also
-    uses them), so slot layout matches the real extractor: tracked slots
-    first, then 'detected' slots for visible landmarks not currently tracked.
+    Slot layout matches the real extractor: tracked slots first, then
+    'detected' slots for visible landmarks not currently tracked. Descriptors
+    of tracked slots are looked up through the tracker's track->landmark map.
     """
 
-    def __init__(self, world: SyntheticWorld, pix_noise=0.0, seed=1):
+    def __init__(self, world: SyntheticWorld, tracker: Optional[TrackSimulator] = None,
+                 pix_noise=0.0, seed=1):
         self.world = world
+        self.tracker = tracker
         self.pix_noise = pix_noise
         self.rng = np.random.default_rng(seed)
 
     def detect_and_extract(self, frame_token, tracked_xy, track_ids):
         frame = int(np.asarray(frame_token).reshape(-1)[0])
         vis, pix = visible_landmarks(self.world, frame)
-        tracked_set = set(int(t) for t in (track_ids if track_ids is not None else []))
+        if track_ids is not None and len(track_ids) and self.tracker is not None:
+            tracked_landmarks = self.tracker.landmarks_of(track_ids)
+        elif track_ids is not None:
+            tracked_landmarks = np.asarray(track_ids, np.int64)
+        else:
+            tracked_landmarks = np.zeros(0, np.int64)
+        tracked_set = set(int(l) for l in tracked_landmarks)
 
         pts, octs, angs, descs, tids = [], [], [], [], []
         # tracked slots first (mirror orb_extractor.cpp:89-124)
-        if tracked_xy is not None:
-            for p, t in zip(tracked_xy, track_ids):
+        if tracked_xy is not None and len(tracked_xy):
+            for p, t, li in zip(tracked_xy, track_ids, tracked_landmarks):
                 pts.append(np.asarray(p, np.float32))
                 octs.append(1)
                 angs.append(0.0)
-                descs.append(self.world.descriptors[int(t)])
+                descs.append(self.world.descriptors[int(li)])
                 tids.append(int(t))
         for li in vis:
             if int(li) in tracked_set:
@@ -140,29 +190,6 @@ class FakeOrbExtractor:
             track_ids=np.array(tids, np.int32))
 
 
-class TrackSimulator:
-    """Simulated LK tracker: persistent tracks on a subset of landmarks."""
-
-    def __init__(self, world: SyntheticWorld, max_tracks=60, seed=2):
-        self.world = world
-        self.max_tracks = max_tracks
-        self.rng = np.random.default_rng(seed)
-        self.active: List[int] = []
-
-    def tracks_for_frame(self, frame: int):
-        vis, pix = visible_landmarks(self.world, frame)
-        vis_set = set(int(v) for v in vis)
-        self.active = [t for t in self.active if t in vis_set]
-        for li in vis:
-            if len(self.active) >= self.max_tracks:
-                break
-            if int(li) not in self.active:
-                self.active.append(int(li))
-        ids = np.array(self.active, np.int64)
-        pts = pix[ids].astype(np.float32)
-        return ids, pts
-
-
 def make_mapper_input(world: SyntheticWorld, frame: int,
                       tracker: TrackSimulator, trail_len=8,
                       with_depth=False) -> MapperInput:
@@ -175,7 +202,8 @@ def make_mapper_input(world: SyntheticWorld, frame: int,
     depths = None
     if with_depth:
         T = world.poses_cw[frame]
-        pc = world.landmarks[ids] @ T[:3, :3].T + T[:3, 3]
+        lms = tracker.landmarks_of(ids)
+        pc = world.landmarks[lms] @ T[:3, :3].T + T[:3, 3]
         depths = np.linalg.norm(pc, axis=1).astype(np.float32)
     return MapperInput(
         frame=np.array([frame]),

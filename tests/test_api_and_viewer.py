@@ -1,0 +1,97 @@
+"""Tests for the session API layer and the viewer data publisher."""
+import numpy as np
+
+from slam_tpu.params import Parameters, ParametersSlam
+from slam_tpu.pipeline.slam_api import Slam
+from slam_tpu.utils.viewer import ViewerDataPublisher
+
+from synthetic_world import (FakeOrbExtractor, TrackSimulator,
+                             make_mapper_input, make_world)
+
+
+def _params(**overrides):
+    base = dict(
+        keyframeDecisionMinIntervalSeconds=0.0,
+        keyframeDecisionCovisibilityRatio=0.95,
+        minVisibleMapPointsInCurrentFrameBA=8,
+        localBAProblemSize=12,
+        adjacentSpaceSize=8,
+        useFrontendSlam=False)
+    base.update(overrides)
+    return Parameters(slam=ParametersSlam(**base))
+
+
+def _run_session(slam, world, n, tracker=None):
+    tracker = tracker or TrackSimulator(world)
+    futures = []
+    for i in range(n):
+        mi = make_mapper_input(world, i, tracker)
+        futures.append(slam.add_frame(
+            frame=mi.frame, pose_trail=mi.pose_trail,
+            features_ids=mi.track_ids, features_pts=mi.track_pts,
+            camera=mi.camera))
+    return futures
+
+
+class TestSlamApi:
+    def test_synchronous_session(self, tmp_path):
+        world = make_world(n_frames=12, n_landmarks=200)
+        tracker = TrackSimulator(world)
+        slam = Slam.build(_params(), orb_extractor=FakeOrbExtractor(world, tracker))
+        futures = _run_session(slam, world, 12, tracker)
+        results = [f.result(timeout=60) for f in futures]
+        assert all(r.pose_mat.shape == (4, 4) for r in results)
+        assert any(len(r.point_cloud) > 0 for r in results)
+        assert slam.end().result(timeout=60)
+
+    def test_threaded_session(self):
+        world = make_world(n_frames=12, n_landmarks=200)
+        tracker = TrackSimulator(world)
+        slam = Slam.build(_params(slamThread=True),
+                          orb_extractor=FakeOrbExtractor(world, tracker))
+        futures = _run_session(slam, world, 12, tracker)
+        results = [f.result(timeout=120) for f in futures]
+        assert all(r.pose_mat.shape == (4, 4) for r in results)
+        assert slam.end().result(timeout=120)
+
+    def test_map_save_path(self, tmp_path):
+        path = str(tmp_path / "m.npz")
+        world = make_world(n_frames=10, n_landmarks=150)
+        tracker = TrackSimulator(world)
+        slam = Slam.build(_params(mapdbSavePath=path),
+                          orb_extractor=FakeOrbExtractor(world, tracker))
+        _ = [f.result(timeout=60) for f in _run_session(slam, world, 10, tracker)]
+        assert slam.end().result(timeout=60)
+        import os
+        assert os.path.exists(path)
+
+    def test_end_debug_callback(self):
+        world = make_world(n_frames=8, n_landmarks=120)
+        got = []
+        tracker = TrackSimulator(world)
+        slam = Slam.build(_params(pointCloudSavePath="x"),
+                          orb_extractor=FakeOrbExtractor(world, tracker))
+        slam.connect_debug_api(end_debug_callback=lambda recs: got.append(recs))
+        _ = [f.result(timeout=60) for f in _run_session(slam, world, 8, tracker)]
+        slam.end().result(timeout=60)
+        assert len(got) == 1
+
+
+class TestViewerPublisher:
+    def test_snapshots_and_json(self, tmp_path):
+        world = make_world(n_frames=10, n_landmarks=200)
+        pub = ViewerDataPublisher()
+        tracker = TrackSimulator(world)
+        slam = Slam.build(_params(), orb_extractor=FakeOrbExtractor(world, tracker))
+        slam.connect_debug_api(viewer_publisher=pub)
+        _ = [f.result(timeout=60) for f in _run_session(slam, world, 10, tracker)]
+        kfs = pub.get_keyframes()
+        mps = pub.get_map_points()
+        assert len(kfs) > 0 and len(mps) > 0
+        assert any(k["current"] for k in kfs)
+        path = str(tmp_path / "viz.json")
+        pub.dump_json(path)
+        import json
+        snap = json.load(open(path))
+        assert len(snap["keyframes"]) == len(kfs)
+        slam.end().result(timeout=60)

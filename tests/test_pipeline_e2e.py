@@ -28,22 +28,22 @@ def default_params(**overrides):
 
 
 def run_sequence(world, params, n_frames=None, with_depth=False):
-    extractor = FakeOrbExtractor(world)
     tracker = TrackSimulator(world)
+    extractor = FakeOrbExtractor(world, tracker)
     mapper = Mapper(params, orb_extractor=extractor)
     poses = []
     for i in range(n_frames or len(world.poses_cw)):
         mi = make_mapper_input(world, i, tracker, with_depth=with_depth)
         pose, cloud = mapper.advance(mi)
         poses.append(pose)
-    return mapper, poses
+    return mapper, poses, tracker
 
 
 class TestBackendOnlyVO:
     def test_straight_line_recovers_trajectory(self):
         world = make_world(n_frames=30, n_landmarks=300, odom_noise=0.0)
         params = default_params()
-        mapper, poses = run_sequence(world, params)
+        mapper, poses, _ = run_sequence(world, params)
         check_consistency(mapper.map_db)
         assert len(mapper.map_db.keyframes) >= 5
         # with perfect odometry the SLAM poses must match the ground truth
@@ -56,24 +56,23 @@ class TestBackendOnlyVO:
     def test_map_points_triangulated_near_truth(self):
         world = make_world(n_frames=30, n_landmarks=300)
         params = default_params()
-        mapper, _ = run_sequence(world, params)
+        mapper, _, tracker = run_sequence(world, params)
         db = mapper.map_db
         tri = [mp for mp in db.map_points.values()
                if mp.status == MapPointStatus.TRIANGULATED]
         assert len(tri) > 50, len(tri)
         errs = []
         for mp in tri:
-            # track id == landmark index in the synthetic world
             if mp.track_id >= 0:
-                errs.append(np.linalg.norm(
-                    mp.position - world.landmarks[int(mp.track_id)]))
+                lm = tracker.track_to_landmark[int(mp.track_id)]
+                errs.append(np.linalg.norm(mp.position - world.landmarks[lm]))
         assert len(errs) > 20
         assert np.median(errs) < 0.1, np.median(errs)
 
     def test_consistency_after_noisy_run(self):
         world = make_world(n_frames=40, n_landmarks=250, odom_noise=0.002)
-        extractor = FakeOrbExtractor(world, pix_noise=0.3)
         tracker = TrackSimulator(world)
+        extractor = FakeOrbExtractor(world, tracker, pix_noise=0.3)
         mapper = Mapper(default_params(), orb_extractor=extractor)
         for i in range(40):
             mapper.advance(make_mapper_input(world, i, tracker))
@@ -84,21 +83,21 @@ class TestBackendOnlyVO:
         world = make_world(n_frames=20)
         params = default_params(keyframeDecisionMinIntervalSeconds=0.5,
                                 keyframeDecisionDistanceThreshold=100.0)
-        mapper, _ = run_sequence(world, params)
+        mapper, _, tracker = run_sequence(world, params)
         # 20 frames at 10 fps with 0.5 s min interval -> ~4-5 keyframes
         # (non-keyframes are processed then discarded)
         assert len(mapper.map_db.keyframes) <= 6
 
     def test_depth_seeded_triangulation(self):
         world = make_world(n_frames=15, n_landmarks=200)
-        mapper, _ = run_sequence(world, default_params(), with_depth=True)
+        mapper, _, tracker = run_sequence(world, default_params(), with_depth=True)
         tri = [mp for mp in mapper.map_db.map_points.values()
                if mp.status != MapPointStatus.NOT_TRIANGULATED and mp.track_id >= 0]
         assert len(tri) > 30
 
     def test_ba_stats_accumulate(self):
         world = make_world(n_frames=12)
-        mapper, _ = run_sequence(world, default_params())
+        mapper, _, tracker = run_sequence(world, default_params())
         totals = mapper.workspace_ba.ba_stats.totals
         assert sum(totals.values()) > 0
 
@@ -107,7 +106,7 @@ class TestSerializationRoundTrip:
     def test_save_load(self, tmp_path):
         from slam_tpu.map.serialization import load_map_db, save_map_db
         world = make_world(n_frames=20, n_landmarks=200)
-        mapper, _ = run_sequence(world, default_params())
+        mapper, _, tracker = run_sequence(world, default_params())
         path = str(tmp_path / "map.npz")
         save_map_db(mapper.map_db, path)
         db2 = load_map_db(None, None, path)
@@ -129,7 +128,7 @@ class TestSerializationRoundTrip:
     def test_trajectory_csv(self, tmp_path):
         from slam_tpu.map.serialization import save_trajectory_csv
         world = make_world(n_frames=12)
-        mapper, _ = run_sequence(world, default_params())
+        mapper, _, tracker = run_sequence(world, default_params())
         path = str(tmp_path / "traj.csv")
         save_trajectory_csv(mapper.map_db, path)
         lines = open(path).read().strip().splitlines()
@@ -141,8 +140,8 @@ class TestSerializationRoundTrip:
 class TestFrontendBackendThreaded:
     def test_dual_map_mode_runs(self):
         world = make_world(n_frames=24, n_landmarks=250)
-        extractor = FakeOrbExtractor(world)
         tracker = TrackSimulator(world)
+        extractor = FakeOrbExtractor(world, tracker)
         params = default_params(useFrontendSlam=True,
                                 backendProcessDelay=2,
                                 copySlamMapEveryNSlamFrames=4,
