@@ -1,0 +1,123 @@
+"""Benchmark: full SLAM backend throughput on real hardware.
+
+Renders a synthetic textured 3D world into real images, runs the COMPLETE
+backend pipeline (TPU ORB front-end -> matching -> triangulation -> local BA
+-> retrieval) frame by frame, and reports keyframes/second.
+
+Baseline note: the reference (AaltoML/SLAM-module) publishes no benchmark
+numbers (BASELINE.md); its HybVIO lineage (Seiskari et al., WACV 2022)
+reports real-time CPU operation on EuRoC-class streams, i.e. ~20 fps camera
+rate. ``vs_baseline`` is therefore measured fps / 20.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+
+def render_world(n_frames=36, n_landmarks=500, width=640, height=480, seed=0):
+    """A textured dot-field world: each landmark splats a unique 11x11 patch."""
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
+    from synthetic_world import make_world
+
+    world = make_world(n_frames=n_frames, n_landmarks=n_landmarks, seed=seed,
+                       trajectory="line")
+    rng = np.random.default_rng(seed + 1)
+    patches = rng.integers(40, 255, (n_landmarks, 11, 11)).astype(np.uint8)
+    return world, patches
+
+
+def render_frame(world, patches, frame, width=640, height=480):
+    from synthetic_world import visible_landmarks
+
+    img = np.full((height, width), 20, np.uint8)
+    vis, pix = visible_landmarks(world, frame, margin=8.0)
+    for li in vis:
+        x, y = int(round(pix[li, 0])), int(round(pix[li, 1]))
+        y0, y1 = max(0, y - 5), min(height, y + 6)
+        x0, x1 = max(0, x - 5), min(width, x + 6)
+        img[y0:y1, x0:x1] = patches[li][:y1 - y0, :x1 - x0]
+    return img
+
+
+def bench_frontend(n_reps=30, width=640, height=480):
+    import jax
+    from slam_tpu.ops.frontend import OrbExtractor
+    from slam_tpu.params import StaticSettings
+
+    settings = StaticSettings()
+    ex = OrbExtractor(settings, width, height)
+    rng = np.random.default_rng(0)
+    img = rng.integers(0, 256, (height, width)).astype(np.uint8)
+    tracked = rng.uniform(40, 400, (64, 2)).astype(np.float32)
+    ids = np.arange(64)
+    ex.detect_and_extract(img, tracked, ids)  # compile
+    t0 = time.perf_counter()
+    for _ in range(n_reps):
+        res = ex.detect_and_extract(img, tracked, ids)
+    dt = (time.perf_counter() - t0) / n_reps
+    return dt * 1e3  # ms per frame
+
+
+def bench_pipeline(n_frames=36):
+    from slam_tpu.params import Parameters, ParametersSlam
+    from slam_tpu.pipeline.mapper import Mapper
+    from slam_tpu.map.keyframe import MapperInput, Pose
+
+    world, patches = render_world(n_frames=n_frames)
+    params = Parameters(slam=ParametersSlam(
+        keyframeDecisionMinIntervalSeconds=0.0,
+        minVisibleMapPointsInCurrentFrameBA=8,
+        localBAProblemSize=16,
+        adjacentSpaceSize=10,
+        maxKeypoints=600,
+        useFrontendSlam=False))
+    mapper = Mapper(params)
+
+    def make_input(i):
+        return MapperInput(
+            frame=render_frame(world, patches, i),
+            camera=world.camera,
+            track_ids=np.zeros(0, np.int64),
+            track_pts=np.zeros((0, 2), np.float32),
+            track_depths=None,
+            pose_trail=[Pose(frame_number=j, t=world.times[j],
+                             pose_cw=world.odometry_cw[j].copy())
+                        for j in range(i, max(-1, i - 6), -1)],
+            t=world.times[i])
+
+    # warmup: first frames trigger all compiles (front-end + BA buckets)
+    n_warm = 6
+    for i in range(n_warm):
+        mapper.advance(make_input(i))
+    t0 = time.perf_counter()
+    for i in range(n_warm, n_frames):
+        mapper.advance(make_input(i))
+    dt = time.perf_counter() - t0
+    fps = (n_frames - n_warm) / dt
+    n_kfs = len(mapper.map_db.keyframes)
+    n_mps = len(mapper.map_db.map_points)
+    return fps, n_kfs, n_mps
+
+
+def main():
+    frontend_ms = bench_frontend()
+    fps, n_kfs, n_mps = bench_pipeline()
+    baseline_fps = 20.0  # reference CPU real-time camera rate (see docstring)
+    print(json.dumps({
+        "metric": "synthetic_vo_keyframes_per_sec",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / baseline_fps, 3),
+        "frontend_ms_per_frame": round(frontend_ms, 3),
+        "map_keyframes": n_kfs,
+        "map_points": n_mps,
+    }))
+
+
+if __name__ == "__main__":
+    main()
