@@ -23,14 +23,9 @@ class FeatureSearch:
     def get_features_around(self, x: float, y: float, r: float) -> np.ndarray:
         """Indices of keypoints strictly inside the circle, in y order
         (matching the reference's output order)."""
-        lo = np.searchsorted(self._ys, y - r, side="left")
-        hi = np.searchsorted(self._ys, y + r, side="right")
-        if lo >= hi:
-            return np.empty(0, dtype=np.int64)
-        dx = x - self._xs[lo:hi]
-        dy = y - self._ys[lo:hi]
-        sel = dx * dx + dy * dy < r * r
-        return self._order[lo:hi][sel]
+        from slam_tpu import native
+        hits = native.radius_search(self._xs, self._ys, x, y, r)
+        return self._order[hits]
 
     def query_many(self, centers: np.ndarray, radii: np.ndarray) -> List[np.ndarray]:
         """Batched version: one call per projected map point."""

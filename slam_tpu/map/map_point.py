@@ -75,12 +75,10 @@ class MapPoint:
                 descs.append(kf.shared.descriptors[int(self.observations[kf_id])])
         if not descs:
             return
+        from slam_tpu import native
         d = np.stack(descs)
-        dist = hamming_matrix_host(d, d)
-        n = len(descs)
-        medians = np.sort(dist, axis=1)[:, int(0.5 * (n - 1))]
         # reference keeps the first index achieving the best median (strict <)
-        self.descriptor = d[int(np.argmin(medians))].copy()
+        self.descriptor = d[native.medoid_descriptor(d)].copy()
 
     def replace_with(self, map_db: "MapDB", other: "MapPoint") -> None:
         """Merge this point into ``other`` (reference: map_point.cpp:118-156)."""

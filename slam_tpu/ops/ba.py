@@ -166,10 +166,8 @@ def _total_cost(poses, points, p: BAProblem, huber_delta):
     return cost, chi2
 
 
-@functools.partial(jax.jit, static_argnames=("iterations", "cg_iters"))
-def solve_ba(p: BAProblem, iterations: int, cg_iters: int,
-             huber_delta: float = float(np.sqrt(CHI2_THRESHOLD)),
-             init_lambda: float = 1e-4) -> BAResult:
+def _lm_run(p: BAProblem, iterations: int, cg_iters: int,
+            huber_delta: float, init_lambda: float) -> BAResult:
     K = p.poses.shape[0]
     M = p.points.shape[0]
 
@@ -277,3 +275,37 @@ def solve_ba(p: BAProblem, iterations: int, cg_iters: int,
         None, length=iterations)
     _, chi2 = _total_cost(poses, points, p, huber_delta)
     return BAResult(poses, points, chi2, cost)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "cg_iters"))
+def solve_ba(p: BAProblem, iterations: int, cg_iters: int,
+             huber_delta: float = float(np.sqrt(CHI2_THRESHOLD)),
+             init_lambda: float = 1e-4) -> BAResult:
+    return _lm_run(p, iterations, cg_iters, huber_delta, init_lambda)
+
+
+@functools.partial(jax.jit, static_argnames=("iterations", "cg_iters"))
+def solve_ba_two_stage(p: BAProblem, stage2_pose_fixed: jnp.ndarray,
+                       anchor_slot: jnp.ndarray,
+                       anchor_sqrt_info: jnp.ndarray,
+                       iterations: int, cg_iters: int,
+                       huber_delta: float = float(np.sqrt(CHI2_THRESHOLD)),
+                       init_lambda: float = 1e-4) -> BAResult:
+    """Local BA's two-stage schedule fused into one device call
+    (reference: bundle_adjuster.cpp:321-373).
+
+    Stage 1 runs with ``p.pose_fixed`` (all but the current keyframe fixed);
+    stage 2 unfixes per ``stage2_pose_fixed`` and softly anchors the current
+    keyframe's stage-1 orientation via a unary prior (the rotation-only
+    information comes in ``anchor_sqrt_info``)."""
+    res1 = _lm_run(p, iterations, cg_iters, huber_delta, init_lambda)
+    anchor_pose = res1.poses[anchor_slot]
+    p2 = p._replace(
+        poses=res1.poses,
+        points=res1.points,
+        pose_fixed=stage2_pose_fixed,
+        pr_idx=anchor_slot[None].astype(jnp.int32),
+        pr_meas=anchor_pose[None],
+        pr_sqrt_info=anchor_sqrt_info[None],
+        pr_valid=jnp.ones((1,), bool))
+    return _lm_run(p2, iterations, cg_iters, huber_delta, init_lambda)

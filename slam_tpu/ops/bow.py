@@ -31,6 +31,7 @@ import numpy as np
 from slam_tpu.ids import KfId, MapId, CURRENT_MAP_ID
 from slam_tpu.map.mapdb import MapDB, MapKf
 from slam_tpu.params import ParametersSlam
+from slam_tpu.utils.timer import timed
 
 _CODEBOOK_SEED = 94235682  # deterministic, nod to random_array.cc:21
 
@@ -49,18 +50,25 @@ def make_codebook(num_words: int, seed: int = _CODEBOOK_SEED) -> np.ndarray:
 
 
 def quantize(descriptors: np.ndarray, codebook: np.ndarray) -> np.ndarray:
-    """Nearest-centroid word ids for (N, 8) descriptors via Hamming GEMM."""
+    """Nearest-centroid word ids for (N, 8) descriptors via Hamming GEMM.
+
+    N is padded to a fixed bucket so one compiled kernel serves all keyframes
+    regardless of keypoint count."""
     n = len(descriptors)
     if n == 0:
         return np.zeros(0, np.int32)
-    if n * len(codebook) >= 1 << 18:
+    from slam_tpu import native
+    threshold = (1 << 23) if native.available() else (1 << 18)
+    if n * len(codebook) >= threshold:
         import jax.numpy as jnp
         from slam_tpu.ops.hamming import hamming_matrix
-        dist = np.asarray(hamming_matrix(jnp.asarray(descriptors),
-                                         jnp.asarray(codebook)))
+        pn = max(256, ((n + 255) // 256) * 256)
+        d = np.zeros((pn, 8), np.uint32)
+        d[:n] = descriptors
+        dist = np.asarray(hamming_matrix(jnp.asarray(d),
+                                         jnp.asarray(codebook)))[:n]
     else:
-        from slam_tpu.ops.hamming import hamming_matrix_host
-        dist = hamming_matrix_host(descriptors, codebook)
+        dist = native.hamming_matrix(descriptors, codebook)
     return np.argmin(dist, axis=1).astype(np.int32)
 
 
@@ -81,6 +89,7 @@ class BowIndex:
 
     # ------------------------------------------------------------------
 
+    @timed
     def transform(self, shared) -> None:
         """Fill words/groups/signature of a KeyframeShared
         (equivalent of BowIndex::transform, bow_index.cpp:59-93)."""

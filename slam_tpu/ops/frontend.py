@@ -32,6 +32,7 @@ from slam_tpu.ops import detector as det
 from slam_tpu.ops import orb
 from slam_tpu.ops.pyramid import _pyramid_operators, _build_pyramid_impl, level_sizes
 from slam_tpu.params import ORB_PATCH_RADIUS, StaticSettings
+from slam_tpu.utils.timer import timed
 
 
 @dataclasses.dataclass
@@ -131,6 +132,7 @@ class OrbExtractor:
                       bool(use_fast), width, height)
         self.num_slots = max_tracked + sum(budgets)
 
+    @timed
     def detect_and_extract(self, image: np.ndarray,
                            tracked_xy: Optional[np.ndarray] = None,
                            track_ids: Optional[np.ndarray] = None) -> FrontendResult:

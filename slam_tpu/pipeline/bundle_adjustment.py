@@ -29,6 +29,7 @@ from slam_tpu.ops import ba
 from slam_tpu.params import StaticSettings
 from slam_tpu.pipeline.adjacency import compute_adjacent_keyframes
 from slam_tpu.utils.stats import Ba, BaStats
+from slam_tpu.utils.timer import timed
 
 CHI2_THRESHOLD = ba.CHI2_THRESHOLD
 
@@ -169,10 +170,11 @@ class _ProblemBuilder:
     # ------------------------------------------------------------------
 
     def build(self) -> ba.BAProblem:
-        K = _pad(len(self.kf_ids), 8)
-        M = _pad(len(self.mp_ids), 64)
-        O = _pad(len(self.obs), 256)
-        E = _pad(len(self.pe), 8)
+        # generous bucket quanta: padded FLOPs are cheap, compiles are not
+        K = _pad(len(self.kf_ids), 16)
+        M = _pad(len(self.mp_ids), 256)
+        O = _pad(len(self.obs), 1024)
+        E = _pad(len(self.pe), 32)
         P = _pad(len(self.priors), 1)
 
         poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
@@ -234,7 +236,9 @@ class _ProblemBuilder:
 
     def solve(self, iterations: int) -> ba.BAResult:
         problem = self.build()
-        cg = min(6 * max(len(self.kf_ids), 1), 96)
+        # cg_iters is a static jit argument: derive it from the PADDED pose
+        # count so each bucket size maps to exactly one compiled kernel
+        cg = min(6 * _pad(len(self.kf_ids), 16), 96)
         return ba.solve_ba(problem, iterations=int(iterations), cg_iters=int(cg))
 
     def apply_poses(self, result: ba.BAResult, map_db: MapDB,
@@ -268,6 +272,7 @@ class _ProblemBuilder:
 # ---------------------------------------------------------------------------
 
 
+@timed
 def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
                         map_db: MapDB, problem_max_size: int,
                         settings: StaticSettings) -> Set[MpId]:
@@ -329,24 +334,30 @@ def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
     for edge in map_db.loop_closure_edges:
         builder.add_loop_edge(edge.kf_id1, edge.kf_id2, edge.pose_diff)
 
-    # stage 1: refine current keyframe only
-    result = builder.solve(iterations)
-
     if n_current_frame_mps < parameters.minVisibleMapPointsInNeighborhoodBA:
+        # stage 1 only: refine the current keyframe, then stop ("NEIGHBOR" BA)
+        result = builder.solve(iterations)
         builder.apply_poses(result, map_db, only={keyframe.id})
         builder.apply_points(result, map_db)
         workspace.ba_stats.update(Ba.NEIGHBOR)
         return set(local_map_points)
 
-    # stage 2: unfix everything, soft-fix current orientation
-    stage1_poses = np.asarray(result.poses, np.float64)
-    current_slot = builder.kf_slot[keyframe.id]
-    builder.poses = [stage1_poses[i] for i in range(len(builder.kf_ids))]
-    builder.pose_fixed = [False] * len(builder.kf_ids)
-    builder.points = [np.asarray(result.points, np.float64)[i]
-                      for i in range(len(builder.mp_ids))]
-    builder.add_orientation_anchor(keyframe.id, stage1_poses[current_slot])
-    result = builder.solve(iterations)
+    # both stages fused into one device call: stage 1 refines the current
+    # keyframe with everything else fixed; stage 2 unfixes all poses and
+    # softly anchors the current keyframe's stage-1 orientation
+    r = 100.0 * parameters.odometryPriorStrengthRotation
+    anchor_info = np.zeros((6, 6))
+    anchor_info[:3, :3] = np.eye(3) * r * r
+    problem = builder.build()
+    K = problem.poses.shape[0]
+    stage2_fixed = np.ones(K, bool)
+    stage2_fixed[:len(builder.kf_ids)] = False
+    cg = min(6 * _pad(len(builder.kf_ids), 16), 96)
+    result = ba.solve_ba_two_stage(
+        problem, jnp.asarray(stage2_fixed),
+        jnp.asarray(builder.kf_slot[keyframe.id]),
+        jnp.asarray(_sqrt_info(anchor_info), jnp.float32),
+        iterations=int(iterations), cg_iters=int(cg))
 
     builder.prune_outliers(result, map_db)
     builder.apply_poses(result, map_db)
@@ -355,6 +366,7 @@ def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
     return set(local_map_points)
 
 
+@timed
 def pose_bundle_adjust(keyframe: Keyframe, map_db: MapDB,
                        settings: StaticSettings) -> bool:
     """reference: bundle_adjuster.cpp:396-491"""
@@ -383,6 +395,7 @@ def pose_bundle_adjust(keyframe: Keyframe, map_db: MapDB,
     return True
 
 
+@timed
 def global_bundle_adjust(current_kf_id: KfId, map_db: MapDB,
                          settings: StaticSettings) -> None:
     """reference: bundle_adjuster.cpp:493-604"""

@@ -127,6 +127,86 @@ def match_local_map_points(current_keyframe: Keyframe,
     matcher.search_by_projection(current_keyframe, local_mps, map_db, r, settings)
 
 
+def _batch_triangulate_pairs(cur_kf: Keyframe, adj_kf: Keyframe,
+                             matches, settings: StaticSettings):
+    """Vectorized two-observation triangulation for fresh map points.
+
+    Batched equivalent of ``triangulateMapPoint`` for the 2-observation case
+    created by ``createNewMapPoints`` (mapper_helpers.cpp:600-722 with
+    observations {adjacent kf, current kf}): depth seeding from the first
+    positive-depth observation in KfId order, the two-ray angle gate,
+    two-view DLT, and positive-depth + reprojection gates on both frames.
+    Returns (positions (B, 3), ok (B,)).
+    """
+    parameters = settings.parameters.slam
+    kp_cur = np.array([int(a) for a, _ in matches])
+    kp_adj = np.array([int(b) for _, b in matches])
+    B = len(matches)
+
+    # KfId order: the adjacent keyframe is always older than the current one
+    assert adj_kf.id < cur_kf.id
+    d_adj = adj_kf.keypoint_depth[kp_adj]
+    d_cur = cur_kf.keypoint_depth[kp_cur]
+    R_adj = adj_kf.camera_to_world_rotation()
+    R_cur = cur_kf.camera_to_world_rotation()
+    c_adj = adj_kf.camera_center()
+    c_cur = cur_kf.camera_center()
+    rays_adj = adj_kf.shared.bearings[kp_adj] @ R_adj.T
+    rays_cur = cur_kf.shared.bearings[kp_cur] @ R_cur.T
+
+    positions = np.zeros((B, 3))
+    ok = np.zeros(B, bool)
+
+    # depth seeding: first positive depth in observation order (adj, cur)
+    seed_adj = d_adj > 0
+    seed_cur = (~seed_adj) & (d_cur > 0)
+    positions[seed_adj] = (d_adj[seed_adj, None] * rays_adj[seed_adj] + c_adj)
+    positions[seed_cur] = (d_cur[seed_cur, None] * rays_cur[seed_cur] + c_cur)
+    seeded = seed_adj | seed_cur
+
+    # DLT path with the two-ray angle gate
+    dlt = ~seeded
+    if dlt.any():
+        cos_min = np.cos(np.radians(parameters.minTriangulationAngleTwoObs))
+        u1 = rays_adj[dlt] / np.maximum(
+            np.linalg.norm(rays_adj[dlt], axis=1, keepdims=True), 1e-12)
+        u2 = rays_cur[dlt] / np.maximum(
+            np.linalg.norm(rays_cur[dlt], axis=1, keepdims=True), 1e-12)
+        angle_ok = np.sum(u1 * u2, axis=1) < cos_min
+        n_adj, ok_a = adj_kf.shared.camera.normalize_pixel(adj_kf.shared.pts[kp_adj[dlt]])
+        n_cur, ok_c = cur_kf.shared.camera.normalize_pixel(cur_kf.shared.pts[kp_cur[dlt]])
+        P1 = adj_kf.pose_cw[:3]
+        P2 = cur_kf.pose_cw[:3]
+        A = np.stack([
+            n_adj[:, 0, None] * P1[2][None] - P1[0][None],
+            n_adj[:, 1, None] * P1[2][None] - P1[1][None],
+            n_cur[:, 0, None] * P2[2][None] - P2[0][None],
+            n_cur[:, 1, None] * P2[2][None] - P2[1][None],
+        ], axis=1)  # (b, 4, 4)
+        _, _, vt = np.linalg.svd(A)
+        Xh = vt[:, -1, :]
+        w = Xh[:, 3]
+        nonzero = np.abs(w) > 1e-12
+        X = np.zeros((len(Xh), 3))
+        X[nonzero] = Xh[nonzero, :3] / w[nonzero, None]
+        idx = np.where(dlt)[0]
+        positions[idx] = X
+        ok[idx] = angle_ok & ok_a & ok_c & nonzero
+    ok[seeded] = True
+
+    # gates on both frames: positive depth + octave-scaled reprojection chi2
+    for kf, kps in ((adj_kf, kp_adj), (cur_kf, kp_cur)):
+        z = positions @ kf.pose_cw[2, :3] + kf.pose_cw[2, 3]
+        pix, vis = kf.reproject_many(positions)
+        rel = get_focal_length(kf) * parameters.relativeReprojectionErrorThreshold
+        ref_scale = len(settings.scaleFactors) // 2
+        sigma2 = (settings.levelSigmaSq[kf.shared.octave[kps]]
+                  / settings.levelSigmaSq[ref_scale] * rel * rel)
+        err = np.sum((pix - kf.shared.pts[kps]) ** 2, axis=1)
+        ok &= (z > 0) & vis & (err <= CHI2_INV2D * sigma2)
+    return positions, ok
+
+
 @timed
 def create_new_map_points(current_keyframe: Keyframe,
                           adjacent_kf_ids: List[KfId], map_db: MapDB,
@@ -138,20 +218,26 @@ def create_new_map_points(current_keyframe: Keyframe,
         keyframe = map_db.keyframes[kf_id]
         matches = matcher.match_for_triangulation(current_keyframe, keyframe,
                                                  settings)
-        for kp_cur, kp_adj in matches:
+        if not matches:
+            continue
+        positions, ok = _batch_triangulate_pairs(current_keyframe, keyframe,
+                                                 matches, settings)
+        for i, (kp_cur, kp_adj) in enumerate(matches):
+            # the reference allocates the id and creates the MapPoint before
+            # the triangulation check, registering it only on success
+            # (mapper_helpers.cpp:302-316) — keep the id sequence identical
             mp_id = map_db.next_mp_id()
+            if not ok[i]:
+                continue
             map_point = MapPoint(mp_id, keyframe.id, kp_adj)
             map_point.color = keyframe.get_keypoint_color(kp_adj)
             map_point.add_observation(current_keyframe.id, kp_cur)
-            triangulate_map_point(map_db, map_point, settings)
-            if map_point.status != MapPointStatus.NOT_TRIANGULATED:
-                current_keyframe.add_observation(map_point.id, kp_cur)
-                keyframe.add_observation(map_point.id, kp_adj)
-                map_db.map_points[mp_id] = map_point
-                map_point.update_descriptor(map_db)
-            # note: the reference creates the MapPoint object before the
-            # triangulation check and only registers it on success
-            # (mapper_helpers.cpp:302-316)
+            map_point.position = positions[i].copy()
+            map_point.status = MapPointStatus.UNSURE
+            current_keyframe.add_observation(map_point.id, kp_cur)
+            keyframe.add_observation(map_point.id, kp_adj)
+            map_db.map_points[mp_id] = map_point
+            map_point.update_descriptor(map_db)
 
 
 @timed
@@ -324,6 +410,7 @@ def check_reprojection_error(pos: np.ndarray, kf: Keyframe,
     return err <= CHI2_INV2D * sigma2
 
 
+@timed
 def triangulate_map_point(map_db: MapDB, map_point: MapPoint,
                           settings: StaticSettings,
                           method: str = "tme") -> None:

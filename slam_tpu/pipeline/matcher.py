@@ -20,21 +20,43 @@ from slam_tpu.ops import matching
 from slam_tpu.ops.hamming import (HAMMING_DIST_THR_HIGH, HAMMING_DIST_THR_LOW,
                                   MAX_HAMMING_DIST, hamming_matrix_host)
 from slam_tpu.params import StaticSettings
+from slam_tpu.utils.timer import timed
 
 SQRT_CHI2_INV2D = 2.4477  # p = 0.05 (keyframe_matcher.cpp:17)
 
 
+def _bucket(n: int, q: int = 256) -> int:
+    return max(q, ((n + q - 1) // q) * q)
+
+
 def _distance_matrix(desc1: np.ndarray, desc2: np.ndarray) -> np.ndarray:
-    """N x M Hamming distances; device GEMM for large problems."""
-    if len(desc1) == 0 or len(desc2) == 0:
-        return np.zeros((len(desc1), len(desc2)), np.int32)
-    if len(desc1) * len(desc2) >= 1 << 16:
+    """N x M Hamming distances: native host popcount for small/medium
+    problems, MXU GEMM above the crossover.
+
+    The crossover accounts for dispatch latency: a host popcount matrix at
+    ~1e9 pairs/s beats a device round trip until several million pairs.
+    Device inputs are padded to fixed-size buckets so the compiled kernel is
+    reused across keyframes with varying keypoint counts (compiles are far
+    more expensive than the padded FLOPs)."""
+    n, m = len(desc1), len(desc2)
+    if n == 0 or m == 0:
+        return np.zeros((n, m), np.int32)
+    from slam_tpu import native
+    threshold = (1 << 22) if native.available() else (1 << 16)
+    if n * m >= threshold:
         import jax.numpy as jnp
         from slam_tpu.ops.hamming import hamming_matrix
-        return np.asarray(hamming_matrix(jnp.asarray(desc1), jnp.asarray(desc2)))
-    return hamming_matrix_host(desc1, desc2)
+        pn, pm = _bucket(n), _bucket(m)
+        d1 = np.zeros((pn, 8), np.uint32)
+        d1[:n] = desc1
+        d2 = np.zeros((pm, 8), np.uint32)
+        d2[:m] = desc2
+        out = np.asarray(hamming_matrix(jnp.asarray(d1), jnp.asarray(d2)))
+        return out[:n, :m]
+    return native.hamming_matrix(desc1, desc2)
 
 
+@timed
 def match_for_loop_closures(kf1: Keyframe, kf2: Keyframe, map_db1: MapDB,
                             map_db2: MapDB, parameters) -> np.ndarray:
     """reference: keyframe_matcher.cpp:50-158. Returns per-kf1-keypoint index
@@ -61,6 +83,7 @@ def match_for_loop_closures(kf1: Keyframe, kf2: Keyframe, map_db1: MapDB,
         lowe_ratio=parameters.loopClosureFeatureMatchLoweRatio)
 
 
+@timed
 def match_for_triangulation(kf1: Keyframe, kf2: Keyframe,
                             settings: StaticSettings) -> List[Tuple[KpId, KpId]]:
     """reference: keyframe_matcher.cpp:160-293 (matchForTriangulationDBoW)."""
@@ -85,6 +108,7 @@ def match_for_triangulation(kf1: Keyframe, kf2: Keyframe,
     return [(KpId(a), KpId(b)) for a, b in pairs]
 
 
+@timed
 def search_by_projection(kf: Keyframe, mp_ids: List[MpId], map_db: MapDB,
                          threshold: float, settings: StaticSettings) -> int:
     """Project local map points into the keyframe and claim unmatched
@@ -140,6 +164,7 @@ def search_by_projection(kf: Keyframe, mp_ids: List[MpId], map_db: MapDB,
     return match_count
 
 
+@timed
 def replace_duplication(kf: Keyframe, mp_ids: Iterable[MpId], margin: float,
                         map_db: MapDB, settings: StaticSettings) -> int:
     """Fuse map points duplicated by projection
@@ -174,9 +199,8 @@ def replace_duplication(kf: Keyframe, mp_ids: Iterable[MpId], margin: float,
         idxs = kf.get_features_around(pix, r)
         if len(idxs) == 0:
             continue
-        dists = np.array([int(x) for x in
-                          hamming_matrix_host(mp.descriptor[None],
-                                              kf.shared.descriptors[idxs])[0]])
+        from slam_tpu import native
+        dists = native.hamming_row(mp.descriptor, kf.shared.descriptors[idxs])
         best = int(np.argmin(dists))
         best_dist = int(dists[best])
         best_kp = KpId(int(idxs[best]))
@@ -237,17 +261,17 @@ def find_matches_transformed_mps(mp_ids_a: np.ndarray,
         idxs = kf_b.get_features_around(pix, margin * float(sf[pred_level]))
         if len(idxs) == 0:
             continue
+        from slam_tpu import native
+        octv = kf_b.shared.octave[idxs]
+        level_ok = (octv >= pred_level - 1) & (octv <= pred_level)
         best_dist = MAX_HAMMING_DIST
         best_j = -1
-        for j in idxs:
-            octv = int(kf_b.shared.octave[j])
-            if octv < pred_level - 1 or octv > pred_level:
-                continue
-            dd = int(hamming_matrix_host(mp.descriptor[None],
-                                         kf_b.shared.descriptors[j][None])[0, 0])
-            if dd < best_dist:
-                best_dist = dd
-                best_j = int(j)
+        if level_ok.any():
+            cand = idxs[level_ok]
+            dd = native.hamming_row(mp.descriptor, kf_b.shared.descriptors[cand])
+            k = int(np.argmin(dd))
+            best_dist = int(dd[k])
+            best_j = int(cand[k])
         if best_dist <= HAMMING_DIST_THR_HIGH:
             matches[i] = best_j
     return matches

@@ -1,0 +1,148 @@
+"""Tests for native hostops, Sim3 refinement, retrieval, and the sharded step."""
+import numpy as np
+import pytest
+
+from slam_tpu import native
+from slam_tpu.geometry import se3
+from slam_tpu.ops.hamming import hamming_matrix_host
+
+
+rng = np.random.default_rng(9)
+
+
+class TestNativeHostops:
+    def test_hamming_matrix_matches_numpy(self):
+        a = rng.integers(0, 2**32, (50, 8), dtype=np.uint32)
+        b = rng.integers(0, 2**32, (70, 8), dtype=np.uint32)
+        assert np.array_equal(native.hamming_matrix(a, b),
+                              hamming_matrix_host(a, b))
+
+    def test_hamming_row(self):
+        a = rng.integers(0, 2**32, (8,), dtype=np.uint32)
+        b = rng.integers(0, 2**32, (30, 8), dtype=np.uint32)
+        assert np.array_equal(native.hamming_row(a, b),
+                              hamming_matrix_host(a[None], b)[0])
+
+    def test_medoid_matches_reference_rule(self):
+        for n in (1, 2, 5, 17):
+            d = rng.integers(0, 2**32, (n, 8), dtype=np.uint32)
+            got = native.medoid_descriptor(d)
+            dist = hamming_matrix_host(d, d)
+            medians = np.sort(dist, axis=1)[:, int(0.5 * (n - 1))]
+            assert got == int(np.argmin(medians))
+
+    def test_radius_search_strict_circle(self):
+        pts = rng.uniform(0, 100, (200, 2)).astype(np.float32)
+        order = np.argsort(pts[:, 1])
+        xs, ys = pts[order, 0], pts[order, 1]
+        hits = native.radius_search(xs, ys, 50.0, 50.0, 15.0)
+        want = np.where((xs - 50) ** 2 + (ys - 50) ** 2 < 225.0)[0]
+        assert set(hits.tolist()) == set(want.tolist())
+
+    def test_random_array_unique_and_deterministic(self):
+        a = native.create_random_array(8, 0, 20, seed=94235682)
+        b = native.create_random_array(8, 0, 20, seed=94235682)
+        assert np.array_equal(a, b)
+        assert len(set(a.tolist())) == 8
+        assert a.min() >= 0 and a.max() <= 20
+
+
+class TestSim3Refinement:
+    def test_refines_perturbed_transform(self):
+        from slam_tpu.ops.sim3_opt import optimize_sim3_transform
+        n = 40
+        pts2 = rng.uniform([-1, -1, 3], [1, 1, 7], (n, 3))
+        R_true = se3.so3_exp(np.array([0.05, 0.3, -0.04]))
+        t_true = np.array([0.3, -0.1, 0.4])
+        pts1 = pts2 @ R_true.T + t_true  # p1 = R12 p2 + t12
+        obs1 = pts1[:, :2] / pts1[:, 2:3]
+        obs2 = pts2[:, :2] / pts2[:, 2:3]
+        # start from a perturbed guess
+        R0 = se3.so3_exp(np.array([0.02, -0.03, 0.01])) @ R_true
+        t0 = t_true + np.array([0.05, -0.04, 0.06])
+        R, t, s = optimize_sim3_transform(
+            R0, t0, 1.0, pts1, pts2, obs1, obs2,
+            np.ones(n), np.ones(n), inlier_threshold=10.0, fix_scale=True)
+        assert np.abs(R - R_true).max() < 5e-3
+        assert np.linalg.norm(t - t_true) < 2e-2
+        assert abs(s - 1.0) < 1e-6  # fix_scale
+
+    def test_scale_estimation(self):
+        from slam_tpu.ops.sim3_opt import optimize_sim3_transform
+        n = 30
+        pts2 = rng.uniform([-1, -1, 3], [1, 1, 7], (n, 3))
+        s_true = 1.25
+        pts1 = s_true * pts2 + np.array([0.1, 0.0, 0.2])
+        obs1 = pts1[:, :2] / pts1[:, 2:3]
+        obs2 = pts2[:, :2] / pts2[:, 2:3]
+        R, t, s = optimize_sim3_transform(
+            np.eye(3), np.array([0.08, 0.01, 0.15]), 1.1,
+            pts1, pts2, obs1, obs2, np.ones(n), np.ones(n),
+            inlier_threshold=10.0, fix_scale=False)
+        assert abs(s - s_true) < 0.02
+
+
+class TestBowRetrieval:
+    def test_identical_frames_score_highest(self):
+        from slam_tpu.ops.bow import BowIndex
+        from slam_tpu.ids import CURRENT_MAP_ID, KfId
+        from slam_tpu.map.keyframe import Keyframe
+        from slam_tpu.map.mapdb import MapDB
+        from slam_tpu.params import ParametersSlam
+
+        index = BowIndex(ParametersSlam())
+        db = MapDB()
+
+        def make_kf(kf_id, desc):
+            kf = Keyframe()
+            kf.id = KfId(kf_id)
+            kf.shared.descriptors = desc
+            index.transform(kf.shared)
+            return kf
+
+        base = rng.integers(0, 2**32, (120, 8), dtype=np.uint32)
+        kfs = [make_kf(0, base),
+               make_kf(1, rng.integers(0, 2**32, (120, 8), dtype=np.uint32)),
+               make_kf(2, rng.integers(0, 2**32, (120, 8), dtype=np.uint32))]
+        for kf in kfs:
+            index.add(kf, CURRENT_MAP_ID)
+        query = make_kf(99, base.copy())  # identical appearance to kf 0
+        sims = index.get_bow_similar(db, [], query)
+        assert sims and int(sims[0].map_kf.kf_id) == 0
+        assert sims[0].score > 0.99
+
+    def test_remove_entry(self):
+        from slam_tpu.ops.bow import BowIndex
+        from slam_tpu.ids import CURRENT_MAP_ID, KfId
+        from slam_tpu.map.mapdb import MapKf
+        from slam_tpu.map.keyframe import Keyframe
+        from slam_tpu.params import ParametersSlam
+        index = BowIndex(ParametersSlam())
+        kf = Keyframe()
+        kf.id = KfId(5)
+        kf.shared.descriptors = rng.integers(0, 2**32, (50, 8), dtype=np.uint32)
+        index.transform(kf.shared)
+        index.add(kf, CURRENT_MAP_ID)
+        assert len(index) == 1
+        index.remove(MapKf(CURRENT_MAP_ID, KfId(5)))
+        assert len(index) == 0
+
+
+class TestMultichipStep:
+    def test_sharded_update_step_8_devices(self):
+        import jax
+        from slam_tpu.parallel.mesh import make_mesh, shard_batch
+        from slam_tpu.parallel.multichip import build_update_step, tiny_ba_problem
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        mesh = make_mesh(8, axis_names=("data", "hyp"))
+        step = build_update_step(mesh, 96, 80, hypotheses=16)
+        images = rng.integers(0, 256, (8, 80, 96)).astype(np.float32)
+        keys = np.asarray(jax.random.split(jax.random.PRNGKey(0), 8 * 16))
+        keys = keys.reshape(8, 16, 2)
+        out = step(shard_batch(mesh, images),
+                   jax.device_put(keys, NamedSharding(mesh, P("data", "hyp"))),
+                   tiny_ba_problem())
+        jax.block_until_ready(out)
+        assert np.isfinite(float(np.asarray(out.ba_cost)))
+        assert np.asarray(out.keypoints).shape[0] == 8
