@@ -21,7 +21,8 @@ def compute_adjacent_keyframes(current_keyframe: Keyframe,
                                min_covisibilities: int,
                                max_keyframes: int,
                                map_db: MapDB,
-                               settings: StaticSettings) -> List[KfId]:
+                               settings: StaticSettings,
+                               visualize: bool = False) -> List[KfId]:
     adjacent_set = set()
     parents = set()
 
@@ -64,4 +65,12 @@ def compute_adjacent_keyframes(current_keyframe: Keyframe,
     current_pos = current_keyframe.camera_center()
     adjacent.sort(key=lambda kf_id: float(
         np.sum((map_db.keyframes[kf_id].camera_center() - current_pos) ** 2)))
-    return adjacent[:max_keyframes]
+    adjacent = adjacent[:max_keyframes]
+
+    if visualize and settings.parameters.slam.kfAsciiAdjacent:
+        # reference: mapper_helpers.cpp:218-226
+        from slam_tpu.utils.ascii_viz import ascii_keyframes
+        adj = set(adjacent)
+        ascii_keyframes(lambda k: "a" if k in adj else " ", map_db,
+                        settings.parameters.slam.kfAsciiWidth)
+    return adjacent

@@ -308,6 +308,12 @@ def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
                     n_current_frame_mps += 1
                 local_map_points.add(mp.id)
 
+    if parameters.kfAsciiBA:
+        # reference: bundle_adjuster.cpp:225-233
+        from slam_tpu.utils.ascii_viz import ascii_keyframes
+        ascii_keyframes(lambda k: "." if k in local_keyframes else " ",
+                        map_db, parameters.kfAsciiWidth)
+
     if (not local_keyframes
             or n_current_frame_mps < parameters.minVisibleMapPointsInCurrentFrameBA
             or len(local_keyframes) < parameters.minKeyframesInBA):

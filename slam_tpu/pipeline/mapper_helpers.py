@@ -590,7 +590,8 @@ def add_keyframe_common_inner(map_db: MapDB, current_keyframe: Keyframe,
     match_tracked_features(current_keyframe, map_db, settings)
 
     adjacent_kf_ids = compute_adjacent_keyframes(
-        current_keyframe, 5, ps.adjacentSpaceSize, map_db, settings)
+        current_keyframe, 5, ps.adjacentSpaceSize, map_db, settings,
+        visualize=True)
     map_db.adjacent_kf_ids = adjacent_kf_ids
 
     if kf_decision and is_backend:

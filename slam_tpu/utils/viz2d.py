@@ -1,0 +1,191 @@
+"""Offline 2D/3D debug rendering to PNG files (no GUI dependencies).
+
+Rebuild of the reference's debug visualizers for a headless TPU appliance:
+the OpenCV 2D hooks (reference: opencv_viewer_data_publisher.cpp —
+keyframe-with-tracks overlay, ORB keypoint display, match drawing,
+map-point-search view) and the core value of the Pangolin 3D map viewer
+(reference: slam_viewer.cpp — keyframe trajectory + map point cloud) are
+implemented as pure-NumPy raster drawing written out with a built-in PNG
+encoder (zlib only). Combine with `utils/viewer.py` JSON snapshots for
+interactive externals.
+"""
+from __future__ import annotations
+
+import os
+import struct
+import zlib
+from typing import Iterable, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+# status colors (RGB) roughly matching the reference viewer's palette
+COLOR_KEYPOINT = (0, 255, 0)
+COLOR_TRACKED = (255, 255, 0)
+COLOR_MATCH = (0, 200, 255)
+COLOR_MAP_POINT = (200, 60, 60)
+COLOR_TRAJ = (40, 120, 255)
+COLOR_ODOM = (150, 150, 150)
+
+
+def write_png(path: str, img: np.ndarray) -> None:
+    """Write an (H, W, 3) uint8 RGB image as PNG (pure python + zlib)."""
+    img = np.ascontiguousarray(img, np.uint8)
+    h, w, c = img.shape
+    assert c == 3
+    raw = b"".join(b"\x00" + img[i].tobytes() for i in range(h))
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (struct.pack(">I", len(data)) + tag + data
+                + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    png = (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+           + chunk(b"IDAT", zlib.compress(raw, 6)) + chunk(b"IEND", b""))
+    with open(path, "wb") as f:
+        f.write(png)
+
+
+def to_rgb(gray: np.ndarray) -> np.ndarray:
+    g = np.clip(np.asarray(gray), 0, 255).astype(np.uint8)
+    return np.stack([g, g, g], axis=-1)
+
+
+def draw_points(img: np.ndarray, pts: np.ndarray, color=COLOR_KEYPOINT,
+                radius: int = 2) -> None:
+    """Draw filled circles in place."""
+    h, w = img.shape[:2]
+    for p in np.asarray(pts).reshape(-1, 2):
+        x, y = int(round(float(p[0]))), int(round(float(p[1])))
+        if not (0 <= x < w and 0 <= y < h):
+            continue
+        y0, y1 = max(0, y - radius), min(h, y + radius + 1)
+        x0, x1 = max(0, x - radius), min(w, x + radius + 1)
+        yy, xx = np.mgrid[y0:y1, x0:x1]
+        mask = (yy - y) ** 2 + (xx - x) ** 2 <= radius * radius
+        img[yy[mask], xx[mask]] = color
+
+
+def draw_line(img: np.ndarray, p0, p1, color=COLOR_MATCH) -> None:
+    """Bresenham-ish line via dense interpolation."""
+    h, w = img.shape[:2]
+    x0, y0 = float(p0[0]), float(p0[1])
+    x1, y1 = float(p1[0]), float(p1[1])
+    n = int(max(abs(x1 - x0), abs(y1 - y0))) + 1
+    xs = np.clip(np.rint(np.linspace(x0, x1, n)).astype(int), 0, w - 1)
+    ys = np.clip(np.rint(np.linspace(y0, y1, n)).astype(int), 0, h - 1)
+    img[ys, xs] = color
+
+
+def render_keyframe_overlay(image: np.ndarray, kf, map_db=None) -> np.ndarray:
+    """Keyframe view: all keypoints, tracked ones highlighted, map-point
+    observations marked (reference: visualizeKeyframe)."""
+    img = to_rgb(image)
+    draw_points(img, kf.shared.pts, COLOR_KEYPOINT, radius=1)
+    tracked_idx = [int(k) for k in kf.keypoint_to_track]
+    if tracked_idx:
+        draw_points(img, kf.shared.pts[tracked_idx], COLOR_TRACKED, radius=2)
+    with_mp = np.where(kf.map_points >= 0)[0]
+    if len(with_mp):
+        draw_points(img, kf.shared.pts[with_mp], COLOR_MAP_POINT, radius=2)
+    return img
+
+
+def render_matches(image1: np.ndarray, pts1: np.ndarray,
+                   image2: np.ndarray, pts2: np.ndarray,
+                   pairs: Sequence[Tuple[int, int]]) -> np.ndarray:
+    """Side-by-side match drawing (reference: showMatches /
+    cv::drawMatches, opencv_viewer_data_publisher.cpp:295)."""
+    img1 = to_rgb(image1)
+    img2 = to_rgb(image2)
+    h = max(img1.shape[0], img2.shape[0])
+    w1 = img1.shape[1]
+    canvas = np.zeros((h, w1 + img2.shape[1], 3), np.uint8)
+    canvas[:img1.shape[0], :w1] = img1
+    canvas[:img2.shape[0], w1:] = img2
+    for i, j in pairs:
+        p1 = pts1[int(i)]
+        p2 = pts2[int(j)] + np.array([w1, 0.0])
+        draw_line(canvas, p1, p2, COLOR_MATCH)
+        draw_points(canvas, p1[None], COLOR_TRACKED, 2)
+        draw_points(canvas, p2[None], COLOR_TRACKED, 2)
+    return canvas
+
+
+def render_map_orthographic(map_db, plane: str = "xz", size: int = 800,
+                            margin: float = 0.07) -> np.ndarray:
+    """Top-down (or other plane) view of the map: point cloud, SLAM
+    trajectory, odometry trajectory (Pangolin-viewer equivalent artifact)."""
+    from slam_tpu.map.map_point import MapPointStatus
+
+    ax = {"xy": (0, 1), "xz": (0, 2), "yz": (1, 2)}[plane]
+    pts = [mp.position for mp in map_db.map_points.values()
+           if mp.status == MapPointStatus.TRIANGULATED]
+    from slam_tpu.geometry import se3
+    traj = [se3.camera_center(kf.pose_cw)
+            for _, kf in sorted(map_db.keyframes.items())]
+    odom = [se3.camera_center(kf.orig_pose_cw)
+            for _, kf in sorted(map_db.keyframes.items())]
+    every = np.array(pts + traj + odom) if (pts or traj) else np.zeros((1, 3))
+    lo = every[:, ax].min(axis=0)
+    hi = every[:, ax].max(axis=0)
+    span = np.maximum(hi - lo, 1e-6)
+    lo = lo - margin * span
+    span = span * (1 + 2 * margin)
+
+    def project(p3):
+        q = (np.asarray(p3)[..., ax] - lo) / span
+        return np.stack([q[..., 0] * (size - 1),
+                         (1 - q[..., 1]) * (size - 1)], axis=-1)
+
+    img = np.full((size, size, 3), 15, np.uint8)
+    if pts:
+        draw_points(img, project(np.array(pts)), COLOR_MAP_POINT, 1)
+    for name, track, color in (("odom", odom, COLOR_ODOM),
+                               ("slam", traj, COLOR_TRAJ)):
+        if len(track) >= 2:
+            proj = project(np.array(track))
+            for a, b in zip(proj[:-1], proj[1:]):
+                draw_line(img, a, b, color)
+            draw_points(img, proj, color, 2)
+    return img
+
+
+class PngDebugPublisher:
+    """Viewer-publisher companion writing PNG artifacts to a directory.
+
+    Implements the 2D visualization hooks of the reference's
+    ``ViewerDataPublisher`` interface (viewer_data_publisher.hpp:126-149) as
+    files instead of windows.
+    """
+
+    def __init__(self, out_dir: str):
+        self.out_dir = out_dir
+        os.makedirs(out_dir, exist_ok=True)
+        self._counter = 0
+
+    def _path(self, tag: str) -> str:
+        self._counter += 1
+        return os.path.join(self.out_dir, f"{self._counter:05d}_{tag}.png")
+
+    def visualize_keyframe(self, map_db, image, kf) -> str:
+        path = self._path(f"kf{int(kf.id)}")
+        write_png(path, render_keyframe_overlay(image, kf, map_db))
+        return path
+
+    def visualize_orbs(self, image, kf) -> str:
+        img = to_rgb(image)
+        draw_points(img, kf.shared.pts, COLOR_KEYPOINT, 2)
+        path = self._path(f"orbs{int(kf.id)}")
+        write_png(path, img)
+        return path
+
+    def show_matches(self, image1, kf1, image2, kf2, pairs, tag="match") -> str:
+        path = self._path(tag)
+        write_png(path, render_matches(image1, kf1.shared.pts,
+                                       image2, kf2.shared.pts, pairs))
+        return path
+
+    def visualize_map(self, map_db, plane: str = "xz") -> str:
+        path = self._path("map")
+        write_png(path, render_map_orthographic(map_db, plane))
+        return path
