@@ -133,7 +133,8 @@ class Keyframe:
         (reference: keyframe.cpp:95-116)."""
         self.has_full_features = True
         res = orb_extractor.detect_and_extract(
-            mapper_input.frame, mapper_input.track_pts, mapper_input.track_ids)
+            mapper_input.frame, mapper_input.track_pts, mapper_input.track_ids,
+            key=mapper_input.pose_trail[0].frame_number)
         cam = self.shared.camera
         valid = res.valid & cam.is_valid_pixel(res.pts)
         c = valid

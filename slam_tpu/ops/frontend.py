@@ -131,16 +131,9 @@ class OrbExtractor:
         self._spec = (scale_factors, budgets, min_dists, int(p.orbLkTrackLevel),
                       bool(use_fast), width, height)
         self.num_slots = max_tracked + sum(budgets)
+        self._pending = {}
 
-    @timed
-    def detect_and_extract(self, image: np.ndarray,
-                           tracked_xy: Optional[np.ndarray] = None,
-                           track_ids: Optional[np.ndarray] = None) -> FrontendResult:
-        """Run the fused front-end for one frame.
-
-        ``tracked_xy``: (K, 2) full-res positions of LK-tracked features,
-        ``track_ids``: (K,) their odometry track ids. K <= max_tracked.
-        """
+    def _pack_tracked(self, tracked_xy, track_ids):
         kt = self.max_tracked
         txy = np.zeros((kt, 2), np.float32)
         tvalid = np.zeros((kt,), bool)
@@ -151,7 +144,39 @@ class OrbExtractor:
             tvalid[:k] = True
             if track_ids is not None:
                 tids[:k] = np.asarray(track_ids, np.int32)[:k]
-        pts, octv, ang, desc, valid = jax.device_get(_extract_impl(
-            jnp.asarray(image), jnp.asarray(txy), jnp.asarray(tvalid), self._spec))
+        return txy, tvalid, tids
+
+    def prefetch(self, key, image: np.ndarray,
+                 tracked_xy: Optional[np.ndarray] = None,
+                 track_ids: Optional[np.ndarray] = None) -> None:
+        """Dispatch extraction for a future frame WITHOUT blocking.
+
+        XLA execution is asynchronous: the returned device arrays are
+        futures, so the extraction overlaps the host-side pipeline work of
+        the current frame. ``detect_and_extract(..., key=...)`` collects it.
+        """
+        txy, tvalid, tids = self._pack_tracked(tracked_xy, track_ids)
+        out = _extract_impl(jnp.asarray(image), jnp.asarray(txy),
+                            jnp.asarray(tvalid), self._spec)
+        self._pending[key] = (out, tids)
+
+    @timed
+    def detect_and_extract(self, image: np.ndarray,
+                           tracked_xy: Optional[np.ndarray] = None,
+                           track_ids: Optional[np.ndarray] = None,
+                           key=None) -> FrontendResult:
+        """Run the fused front-end for one frame (or collect a prefetch).
+
+        ``tracked_xy``: (K, 2) full-res positions of LK-tracked features,
+        ``track_ids``: (K,) their odometry track ids. K <= max_tracked.
+        """
+        pending = self._pending.pop(key, None) if key is not None else None
+        if pending is not None:
+            out, tids = pending
+        else:
+            txy, tvalid, tids = self._pack_tracked(tracked_xy, track_ids)
+            out = _extract_impl(jnp.asarray(image), jnp.asarray(txy),
+                                jnp.asarray(tvalid), self._spec)
+        pts, octv, ang, desc, valid = jax.device_get(out)
         return FrontendResult(np.asarray(pts), np.asarray(octv), np.asarray(ang),
                               np.asarray(desc), np.asarray(valid), tids)

@@ -240,6 +240,16 @@ class Mapper:
 
     # ------------------------------------------------------------------
 
+    def prefetch(self, mapper_input: MapperInput) -> None:
+        """Dispatch the front-end for a FUTURE frame asynchronously so its
+        device work overlaps the current frame's host pipeline. Safe to call
+        for any frame; non-keyframes simply never collect the result."""
+        ex = self._get_orb_extractor(mapper_input)
+        if hasattr(ex, "prefetch"):
+            ex.prefetch(mapper_input.pose_trail[0].frame_number,
+                        mapper_input.frame, mapper_input.track_pts,
+                        mapper_input.track_ids)
+
     def advance(self, mapper_input: MapperInput) -> Tuple[np.ndarray, List[dict]]:
         """Process one frame; returns (pose, point cloud)
         (reference: mapper.cpp:345-404)."""

@@ -106,21 +106,31 @@ def match_tracked_features(current_keyframe: Keyframe, map_db: MapDB,
 def match_local_map_points(current_keyframe: Keyframe,
                            adjacent_kf_ids: List[KfId], map_db: MapDB,
                            settings: StaticSettings) -> None:
-    """reference: mapper_helpers.cpp:231-269"""
+    """reference: mapper_helpers.cpp:231-269 (frustum test vectorized)"""
     parameters = settings.parameters.slam
-    unique_mps: Set[MpId] = set()
+    unique_mps: Set[int] = set()
     for kf_id in adjacent_kf_ids:
         kf = map_db.keyframes[kf_id]
-        for mp_val in kf.map_points:
-            if mp_val >= 0:
-                unique_mps.add(MpId(int(mp_val)))
-    local_mps = []
-    for mp_id in sorted(unique_mps):
-        mp = map_db.map_points[mp_id]
+        unique_mps.update(int(v) for v in kf.map_points[kf.map_points >= 0])
+    candidates = []
+    for mp_val in sorted(unique_mps):
+        mp = map_db.map_points[MpId(mp_val)]
         if (mp.status not in (MapPointStatus.NOT_TRIANGULATED, MapPointStatus.BAD)
-                and current_keyframe.id not in mp.observations
-                and current_keyframe.is_in_frustum(mp)):
-            local_mps.append(mp.id)
+                and current_keyframe.id not in mp.observations):
+            candidates.append(mp)
+    if not candidates:
+        return
+    # batched isInFrustum (keyframe.cpp:247-262 semantics)
+    positions = np.stack([mp.position for mp in candidates])
+    _, visible = current_keyframe.reproject_many(positions)
+    mp_to_kf = (current_keyframe.camera_center() - positions).astype(np.float32)
+    dist = np.linalg.norm(mp_to_kf, axis=1)
+    norms = np.stack([mp.norm for mp in candidates])
+    min_d = np.array([mp.min_viewing_distance for mp in candidates])
+    max_d = np.array([mp.max_viewing_distance for mp in candidates])
+    viewing_cos = np.sum(mp_to_kf * norms, axis=1) / np.maximum(dist, 1e-12)
+    ok = visible & (dist >= min_d) & (dist <= max_d) & (viewing_cos >= 0.5)
+    local_mps = [mp.id for mp, o in zip(candidates, ok) if o]
     if not local_mps:
         return
     r = get_focal_length(current_keyframe) * parameters.relativeReprojectionErrorThreshold

@@ -173,27 +173,45 @@ def replace_duplication(kf: Keyframe, mp_ids: Iterable[MpId], margin: float,
     fused = 0
     sf = settings.scaleFactors
     base_scale = float(sf[len(sf) // 2])
-    for mp_id in mp_ids:
-        if int(mp_id) < 0 or mp_id in erased:
+
+    # vectorized geometric gating: positions never change during the loop
+    # (only observation links do), so projections/distances are precomputed
+    mp_list = [map_db.map_points.get(m) for m in mp_ids]
+    alive = [(m, mp) for m, mp in zip(mp_ids, mp_list)
+             if mp is not None and int(m) >= 0
+             and kf.id not in mp.observations
+             and mp.status not in (MapPointStatus.BAD,
+                                   MapPointStatus.NOT_TRIANGULATED)]
+    if not alive:
+        return 0
+    positions = np.stack([mp.position for _, mp in alive])
+    pix_all, in_image_all = kf.reproject_many(positions)
+    mp_to_kf_all = (kf.camera_center() - positions).astype(np.float32)
+    dist_all = np.linalg.norm(mp_to_kf_all, axis=1)
+    norms_all = np.stack([mp.norm for _, mp in alive])
+    cos_all = (np.sum(mp_to_kf_all * norms_all, axis=1)
+               / np.maximum(dist_all, 1e-12))
+
+    for k, (mp_id, mp) in enumerate(alive):
+        if mp_id in erased or mp.id not in map_db.map_points:
             continue
-        mp = map_db.map_points.get(mp_id)
-        if mp is None:
-            continue
+        # re-check mutable state: an earlier merge may have linked this map
+        # point to the keyframe or changed its status (matches the
+        # reference's at-iteration checks, keyframe_matcher.cpp:429-439)
         if kf.id in mp.observations:
             continue
         if mp.status in (MapPointStatus.BAD, MapPointStatus.NOT_TRIANGULATED):
             continue
-        pix, in_image = kf.reproject(mp.position)
-        if not in_image:
+        if not in_image_all[k]:
             continue
-        mp_to_kf = (kf.camera_center() - mp.position).astype(np.float32)
-        d = float(np.linalg.norm(mp_to_kf))
+        d = float(dist_all[k])
         if d < mp.min_viewing_distance or d > mp.max_viewing_distance:
             continue
         if not np.any(mp.norm):
             continue
-        if float(mp_to_kf @ mp.norm) / max(d, 1e-12) < 0.5:
+        if cos_all[k] < 0.5:
             continue
+        pix = pix_all[k]
         pred_level = mp.predict_scale_level(d, settings)
         r = margin * float(sf[pred_level]) / base_scale * SQRT_CHI2_INV2D
         idxs = kf.get_features_around(pix, r)

@@ -149,7 +149,7 @@ class FakeOrbExtractor:
         self.pix_noise = pix_noise
         self.rng = np.random.default_rng(seed)
 
-    def detect_and_extract(self, frame_token, tracked_xy, track_ids):
+    def detect_and_extract(self, frame_token, tracked_xy, track_ids, key=None):
         frame = int(np.asarray(frame_token).reshape(-1)[0])
         vis, pix = visible_landmarks(self.world, frame)
         if track_ids is not None and len(track_ids) and self.tracker is not None:

@@ -146,3 +146,14 @@ class TestMultichipStep:
         jax.block_until_ready(out)
         assert np.isfinite(float(np.asarray(out.ba_cost)))
         assert np.asarray(out.keypoints).shape[0] == 8
+
+
+class TestPallasKernels:
+    def test_hamming_argmin_interpret(self):
+        from slam_tpu.ops.pallas_kernels import hamming_argmin
+        d = rng.integers(0, 2**32, (200, 8), dtype=np.uint32)
+        cb = rng.integers(0, 2**32, (1024, 8), dtype=np.uint32)
+        best, idx = hamming_argmin(d, cb, interpret=True)
+        dist = hamming_matrix_host(d, cb)
+        assert np.array_equal(idx, np.argmin(dist, axis=1))
+        assert np.array_equal(best, dist.min(axis=1))
