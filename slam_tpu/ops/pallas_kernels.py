@@ -8,8 +8,15 @@ and keeps only the running (best, argmin) per descriptor, so HBM traffic is
 O(N + V) instead of O(N*V).
 
 Popcount uses the same parallel bit-counting identity as the reference
-(openvslam/match_base.h:18-39). The kernel requires a TPU backend; callers
-fall back to the XLA/MXU path elsewhere (selection in `ops/bow.py`).
+(openvslam/match_base.h:18-39), and the running min packs (distance, index)
+into one sortable key so tie-breaking is deterministically first-match like
+``np.argmin``. Verified bit-correct compiled on TPU v5e.
+
+When to use: pipelines whose descriptors already live on device (batched
+multi-sequence mapping) or very large (N, V). For the single-frame host
+pipeline the native C++ popcount path wins below several million pairs once
+dispatch latency is counted, so `ops/bow.py` does not default to this
+kernel.
 """
 from __future__ import annotations
 
@@ -26,41 +33,51 @@ TILE_V = 128   # codebook entries per grid step
 
 
 def _popcount32(v):
-    """Parallel bit count on uint32 (match_base.h bit-hack)."""
-    m1 = jnp.uint32(0x55555555)
-    m2 = jnp.uint32(0x33333333)
-    m3 = jnp.uint32(0x0F0F0F0F)
-    m4 = jnp.uint32(0x01010101)
-    v = v - ((v >> 1) & m1)
-    v = (v & m2) + ((v >> 2) & m2)
-    return (((v + (v >> 4)) & m3) * m4) >> 24
+    """Parallel bit count (match_base.h bit-hack) on int32 lanes.
+
+    Mosaic's vector ops prefer int32; shifts use the explicit logical form so
+    sign bits never leak in.
+    """
+    shr = jax.lax.shift_right_logical
+    m1 = jnp.int32(0x55555555)
+    m2 = jnp.int32(0x33333333)
+    m3 = jnp.int32(0x0F0F0F0F)
+    v = v - (shr(v, 1) & m1)
+    v = (v & m2) + (shr(v, 2) & m2)
+    v = (v + shr(v, 4)) & m3
+    # per-byte counts <= 8: sum via multiply-shift stays within int32
+    return shr(v * jnp.int32(0x01010101), 24) & jnp.int32(0xFF)
 
 
-def _hamming_argmin_kernel(desc_ref, code_ref, best_ref, idx_ref):
+def _hamming_argmin_kernel(num_words_ref, desc_ref, code_ref, key_ref):
+    i = pl.program_id(0)
     j = pl.program_id(1)
+    num_words = num_words_ref[0]
 
     # (TILE_N, TILE_V) distances accumulated word by word on the VPU
-    dist = jnp.zeros((TILE_N, TILE_V), jnp.uint32)
+    dist = jnp.zeros((TILE_N, TILE_V), jnp.int32)
     for k in range(8):
         a = desc_ref[:, k][:, None]          # (TILE_N, 1)
         b = code_ref[:, k][None, :]          # (1, TILE_V)
         dist = dist + _popcount32(a ^ b)
-    dist = dist.astype(jnp.int32)
+    # pack (distance, codebook index) into one sortable key so the running
+    # min is deterministic FIRST-match, like np.argmin. dist <= 256 and
+    # V <= 65536 keep the key exact in int32.
+    col = (jax.lax.broadcasted_iota(jnp.int32, (TILE_N, TILE_V), 1)
+           + j * TILE_V)
+    key = dist * num_words + col
+    # Mosaic's reductions prefer float32; keys < 2^24 stay exact
+    tile_key = jnp.min(key.astype(jnp.float32), axis=1).astype(jnp.int32)
 
-    tile_best = jnp.min(dist, axis=1)
-    tile_arg = jnp.argmin(dist, axis=1).astype(jnp.int32) + j * TILE_V
-
+    # output keeps the FULL (tiles, TILE_N) array resident in VMEM (constant
+    # index map); each N-tile writes its own row across the V sweep
     @pl.when(j == 0)
     def _():
-        best_ref[:] = tile_best
-        idx_ref[:] = tile_arg
+        key_ref[i, :] = tile_key
 
     @pl.when(j > 0)
     def _():
-        prev_best = best_ref[:]
-        take = tile_best < prev_best
-        best_ref[:] = jnp.where(take, tile_best, prev_best)
-        idx_ref[:] = jnp.where(take, tile_arg, idx_ref[:])
+        key_ref[i, :] = jnp.minimum(tile_key, key_ref[i, :])
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -68,28 +85,24 @@ def _hamming_argmin_call(desc, codebook, interpret=False):
     n = desc.shape[0]
     v = codebook.shape[0]
     grid = (n // TILE_N, v // TILE_V)
-    best, idx = pl.pallas_call(
+    num_words = jnp.full((1,), v, jnp.int32)
+    key = pl.pallas_call(
         _hamming_argmin_kernel,
         grid=grid,
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((TILE_N, 8), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((TILE_V, 8), lambda i, j: (j, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=(
-            pl.BlockSpec((TILE_N,), lambda i, j: (i,),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_N,), lambda i, j: (i,),
-                         memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n,), jnp.int32),
-            jax.ShapeDtypeStruct((n,), jnp.int32),
-        ),
+        out_specs=pl.BlockSpec((n // TILE_N, TILE_N), lambda i, j: (0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((n // TILE_N, TILE_N), jnp.int32),
         interpret=interpret,
-    )(desc, codebook)
-    return best, idx
+    )(num_words, desc, codebook)
+    key = key.reshape(-1)
+    return key // v, key % v
 
 
 def hamming_argmin(descriptors: np.ndarray, codebook: np.ndarray,
@@ -105,8 +118,11 @@ def hamming_argmin(descriptors: np.ndarray, codebook: np.ndarray,
     pn = max(TILE_N, ((n + TILE_N - 1) // TILE_N) * TILE_N)
     d = np.zeros((pn, 8), np.uint32)
     d[:n] = descriptors
-    best, idx = _hamming_argmin_call(jnp.asarray(d), jnp.asarray(codebook),
-                                     interpret=interpret)
+    # the kernel works on int32 lanes; bit patterns are preserved by the view
+    best, idx = _hamming_argmin_call(
+        jnp.asarray(d.view(np.int32)),
+        jnp.asarray(np.ascontiguousarray(codebook, np.uint32).view(np.int32)),
+        interpret=interpret)
     return np.asarray(best)[:n], np.asarray(idx)[:n]
 
 
