@@ -25,14 +25,22 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def make_mesh(n_devices: Optional[int] = None,
               axis_names: Tuple[str, ...] = ("data",),
-              shape: Optional[Tuple[int, ...]] = None) -> Mesh:
+              shape: Optional[Tuple[int, ...]] = None,
+              backend: Optional[str] = None) -> Mesh:
     """Build a mesh over the first ``n_devices`` devices.
 
     With two axis names and no explicit shape, devices are split as evenly as
-    possible between the axes (e.g. 8 -> (4, 2))."""
-    devices = jax.devices()
+    possible between the axes (e.g. 8 -> (4, 2)). When the default backend
+    has too few devices, the (virtual multi-device) CPU backend is used.
+    """
+    devices = jax.devices(backend) if backend else jax.devices()
     if n_devices is None:
         n_devices = len(devices)
+    if len(devices) < n_devices and backend is None:
+        devices = jax.devices("cpu")
+    assert len(devices) >= n_devices, (
+        f"need {n_devices} devices, have {len(devices)}; set "
+        "XLA_FLAGS=--xla_force_host_platform_device_count")
     devices = devices[:n_devices]
     if shape is None:
         if len(axis_names) == 1:

@@ -143,6 +143,21 @@ class _ProblemBuilder:
         self.obs.append((kf_slot, mp_slot, float(meas[0]), float(meas[1]), sqrt_info))
         self.obs_tag.append((kf.id, mp.id))
 
+    def add_observations_bulk(self, kf: Keyframe, kp_indices: np.ndarray,
+                              mp_slots: np.ndarray, mp_ids) -> None:
+        """Vectorized add_observation for all of one keyframe's observations
+        entering the problem (same measurement/information semantics)."""
+        kf_slot = self.kf_slot[kf.id]
+        bearings = kf.shared.bearings[kp_indices]
+        meas = bearings[:, :2] / bearings[:, 2:3]
+        focal = float(kf.shared.camera.get_focal_length())
+        si = focal / np.sqrt(
+            self.settings.levelSigmaSq[kf.shared.octave[kp_indices]])
+        for k in range(len(kp_indices)):
+            self.obs.append((kf_slot, int(mp_slots[k]),
+                             float(meas[k, 0]), float(meas[k, 1]), float(si[k])))
+            self.obs_tag.append((kf.id, mp_ids[k]))
+
     def add_odometry_edge(self, kf_id: KfId, prev_kf_id: KfId, map_db: MapDB) -> None:
         """vertex0 = kf, vertex1 = prev (reference: bundle_adjuster.cpp:65-85)."""
         pose_diff = map_db.pose_difference(prev_kf_id, kf_id)
@@ -323,13 +338,19 @@ def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
     for kf_id in sorted(local_keyframes):
         builder.add_keyframe(map_db.keyframes[kf_id], fixed=(kf_id != keyframe.id))
     for mp_id in sorted(local_map_points):
-        mp = map_db.map_points[mp_id]
-        builder.add_map_point(mp, fixed=False)
-        for kf_id in sorted(mp.observations):
-            if kf_id not in local_keyframes:
-                continue
-            builder.add_observation(map_db.keyframes[kf_id],
-                                    mp.observations[kf_id], mp)
+        builder.add_map_point(map_db.map_points[mp_id], fixed=False)
+    # observations, bulk per keyframe (same (kf, mp) set as the reference's
+    # per-map-point loop; order within the padded arrays is irrelevant)
+    local_mp_vals = np.fromiter((int(m) for m in sorted(local_map_points)),
+                                np.int64, len(local_map_points))
+    for kf_id in sorted(local_keyframes):
+        kf = map_db.keyframes[kf_id]
+        sel = np.where(np.isin(kf.map_points, local_mp_vals))[0]
+        if len(sel) == 0:
+            continue
+        mp_ids = [MpId(int(v)) for v in kf.map_points[sel]]
+        mp_slots = np.array([builder.mp_slot[m] for m in mp_ids])
+        builder.add_observations_bulk(kf, sel, mp_slots, mp_ids)
     # chain all local keyframes with odometry edges (descending id order,
     # reference: bundle_adjuster.cpp:296-311)
     other = KfId(-1)
@@ -415,9 +436,14 @@ def global_bundle_adjust(current_kf_id: KfId, map_db: MapDB,
         if not mp.observations:
             continue
         builder.add_map_point(mp, fixed=False)
-        for kf_id in sorted(mp.observations):
-            builder.add_observation(map_db.keyframes[kf_id],
-                                    mp.observations[kf_id], mp)
+    for kf_id in sorted(map_db.keyframes):
+        kf = map_db.keyframes[kf_id]
+        sel = np.where(kf.map_points >= 0)[0]
+        if len(sel) == 0:
+            continue
+        mp_ids = [MpId(int(v)) for v in kf.map_points[sel]]
+        mp_slots = np.array([builder.mp_slot[m] for m in mp_ids])
+        builder.add_observations_bulk(kf, sel, mp_slots, mp_ids)
     for kf_id in sorted(map_db.keyframes):
         kf = map_db.keyframes[kf_id]
         if kf.previous_kf_id.valid:
