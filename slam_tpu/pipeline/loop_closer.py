@@ -350,6 +350,20 @@ class LoopCloser:
         self._search_and_deduplicate(candidate_kf, rigidly_transformed)
         self.previous_closure_t = current_kf.t
 
+    def get_total_reprojection_error(self) -> float:
+        """Debug metric: summed squared reprojection error over every
+        observation (reference: loop_closer.cpp:611-630)."""
+        total = 0.0
+        for kf in self.map_db.keyframes.values():
+            sel = np.where(kf.map_points >= 0)[0]
+            if len(sel) == 0:
+                continue
+            positions = np.stack([self.map_db.map_points[MpId(int(v))].position
+                                  for v in kf.map_points[sel]])
+            pix, _ = kf.reproject_many(positions)
+            total += float(np.sum((pix - kf.shared.pts[sel]) ** 2))
+        return total
+
     def _search_and_deduplicate(self, candidate_kf: Keyframe,
                                 rigidly_transformed: List[KfId]) -> None:
         """reference: loop_closer.cpp:567-591"""

@@ -150,6 +150,19 @@ def render_map_orthographic(map_db, plane: str = "xz", size: int = 800,
     return img
 
 
+def render_pyramid(pyramid) -> np.ndarray:
+    """Stacked view of plain + blurred pyramid levels
+    (reference: image_pyramid.cpp:47-57 debugVisualize)."""
+    import numpy as _np
+    w0, h0 = pyramid.sizes[0]
+    canvas = _np.zeros((2 * h0, w0), _np.uint8)
+    for lvl in range(pyramid.num_levels):
+        w, h = pyramid.sizes[lvl]
+        canvas[:h, :w] = _np.asarray(pyramid.levels[lvl]).astype(_np.uint8)[:h, :w]
+        canvas[h0:h0 + h, :w] = _np.asarray(pyramid.blurred[lvl]).astype(_np.uint8)[:h, :w]
+    return to_rgb(canvas)
+
+
 class PngDebugPublisher:
     """Viewer-publisher companion writing PNG artifacts to a directory.
 
@@ -183,6 +196,11 @@ class PngDebugPublisher:
         path = self._path(tag)
         write_png(path, render_matches(image1, kf1.shared.pts,
                                        image2, kf2.shared.pts, pairs))
+        return path
+
+    def visualize_pyramid(self, pyramid) -> str:
+        path = self._path("pyramid")
+        write_png(path, render_pyramid(pyramid))
         return path
 
     def visualize_map(self, map_db, plane: str = "xz") -> str:
