@@ -27,7 +27,7 @@ def test_frame_pair_essential_pose():
     # inconsistent (real-world clutter analogue); keep density moderate
     world, patches = bench.render_world(n_frames=10, n_landmarks=250)
     f0 = bench.render_frame(world, patches, 0)
-    f5 = bench.render_frame(world, patches, 5)
+    f5 = bench.render_frame(world, patches, 2)
 
     settings = StaticSettings(Parameters(slam=ParametersSlam(maxKeypoints=800)))
     ex = OrbExtractor(settings, 640, 480)
@@ -58,7 +58,7 @@ def test_frame_pair_essential_pose():
 
     # ground-truth relative pose frame5 <- frame0
     T0 = world.poses_cw[0]
-    T5 = world.poses_cw[5]
+    T5 = world.poses_cw[2]
     rel = T5 @ np.linalg.inv(T0)
     R_true = rel[:3, :3]
     t_true = rel[:3, 3] / np.linalg.norm(rel[:3, 3])
@@ -71,5 +71,5 @@ def test_frame_pair_essential_pose():
     # itself never uses the essential pose (odometry priors drive it, like
     # the reference where the RANSAC path exists for completeness,
     # essential_solver.cc / SURVEY 2.21) — this test checks the wiring
-    assert rot_err < 10.0, f"rotation error {rot_err:.2f} deg"
-    assert t_err < 15.0, f"translation direction error {t_err:.2f} deg"
+    assert rot_err < 2.0, f"rotation error {rot_err:.2f} deg"
+    assert t_err < 10.0, f"translation direction error {t_err:.2f} deg"
