@@ -157,3 +157,33 @@ class TestPallasKernels:
         dist = hamming_matrix_host(d, cb)
         assert np.array_equal(idx, np.argmin(dist, axis=1))
         assert np.array_equal(best, dist.min(axis=1))
+
+
+class TestBatchSequences:
+    def test_two_sequences_concurrently(self):
+        from synthetic_world import (FakeOrbExtractor, TrackSimulator,
+                                     make_mapper_input, make_world)
+        from slam_tpu.parallel.batch import map_sequences
+        from slam_tpu.params import Parameters, ParametersSlam
+        from slam_tpu.pipeline.mapper_helpers import check_consistency
+
+        worlds = [make_world(n_frames=10, n_landmarks=150, seed=s)
+                  for s in (1, 2)]
+        trackers = [TrackSimulator(w) for w in worlds]
+
+        def inputs(i):
+            return [make_mapper_input(worlds[i], f, trackers[i])
+                    for f in range(10)]
+
+        params = Parameters(slam=ParametersSlam(
+            useFrontendSlam=False, minVisibleMapPointsInCurrentFrameBA=8,
+            localBAProblemSize=12, adjacentSpaceSize=8))
+        mappers = map_sequences(
+            [inputs(0), inputs(1)], params,
+            orb_extractor_factory=lambda i: FakeOrbExtractor(worlds[i], trackers[i]))
+        assert len(mappers) == 2
+        for m in mappers:
+            assert len(m.map_db.keyframes) >= 3
+            check_consistency(m.map_db)
+        # sessions are fully independent maps
+        assert mappers[0].map_db is not mappers[1].map_db
