@@ -49,14 +49,13 @@ def triangulate_n_view(poses: np.ndarray, points: np.ndarray,
     poses = np.asarray(poses, dtype=np.float64)
     points = np.asarray(points, dtype=np.float64)
     n = poses.shape[0]
-    design = np.zeros((4, 4))
-    for i in range(n):
-        if mask is not None and not mask[i]:
-            continue
-        h = np.array([points[i, 0], points[i, 1], 1.0])
-        h = h / np.linalg.norm(h)
-        cost = poses[i] - np.outer(h, h) @ poses[i]
-        design += cost.T @ cost
+    h = np.concatenate([points, np.ones((n, 1))], axis=1)
+    h = h / np.linalg.norm(h, axis=1, keepdims=True)
+    proj = np.einsum("ni,nj,njk->nik", h, h, poses)
+    cost = poses - proj                              # (n, 3, 4)
+    if mask is not None:
+        cost = cost * np.asarray(mask, np.float64)[:, None, None]
+    design = np.einsum("nij,nik->jk", cost, cost)
     w, v = np.linalg.eigh(design)
     return v[:, 0], True
 

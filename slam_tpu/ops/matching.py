@@ -54,10 +54,11 @@ def epipolar_inlier_matrix(bearings_1: np.ndarray, bearings_2: np.ndarray,
     norm = np.linalg.norm(ep1, axis=1)
     norm = np.maximum(norm, 1e-12)
     cosr = (bearings_1 @ ep1.T) / norm[None, :]   # (N1, N2)
-    cosr = np.clip(cosr, -1.0, 1.0)
-    residual = np.pi / 2.0 - np.abs(np.arccos(cosr))
-    thr = np.radians(residual_deg_thr) * np.asarray(scale_1)[:, None]
-    return residual < thr
+    # pi/2 - arccos(c) < thr  <=>  c < sin(thr)  (arccos is decreasing), an
+    # exact arccos-free form of the reference's signed residual test — note
+    # negative-cosine pairs still always pass, as in the reference
+    thr = np.radians(residual_deg_thr) * np.asarray(scale_1)
+    return cosr < np.sin(thr)[:, None]
 
 
 def angle_check_invalid(delta_angles: np.ndarray, valid: np.ndarray) -> np.ndarray:
@@ -89,6 +90,21 @@ def _bucket_order(groups: np.ndarray, cand: np.ndarray) -> np.ndarray:
     return idx[np.argsort(groups[idx], kind="stable")]
 
 
+def _group_buckets(groups: np.ndarray, cand: np.ndarray):
+    """group id -> sorted candidate indices; makes the per-query scan touch
+    only the ~N/num_groups same-group keypoints instead of full rows."""
+    idx = np.where(cand)[0]
+    order = np.argsort(groups[idx], kind="stable")
+    idx = idx[order]
+    g = groups[idx]
+    buckets = {}
+    if len(idx):
+        cuts = np.flatnonzero(np.diff(g)) + 1
+        for part, gval in zip(np.split(idx, cuts), g[np.r_[0, cuts]]):
+            buckets[int(gval)] = part
+    return buckets
+
+
 def match_loop_closure_descriptors(
     dist: np.ndarray,
     groups1: np.ndarray, groups2: np.ndarray,
@@ -105,12 +121,15 @@ def match_loop_closure_descriptors(
     n1 = dist.shape[0]
     matched = np.full(n1, -1, dtype=np.int64)
     used2 = np.zeros(dist.shape[1], dtype=bool)
+    buckets = _group_buckets(groups2, cand2)
 
     for i in _bucket_order(groups1, cand1):
-        sel = cand2 & (groups2 == groups1[i]) & ~used2
-        if not sel.any():
+        js = buckets.get(int(groups1[i]))
+        if js is None:
             continue
-        js = np.where(sel)[0]
+        js = js[~used2[js]]
+        if len(js) == 0:
+            continue
         d = dist[i, js]
         order = np.argsort(d, kind="stable")
         best = int(js[order[0]])
@@ -151,14 +170,16 @@ def match_for_triangulation(
     n1 = dist.shape[0]
     matched = np.full(n1, -1, dtype=np.int64)
     used2 = np.zeros(dist.shape[1], dtype=bool)
+    buckets = _group_buckets(groups2, free2)
 
     for i in _bucket_order(groups1, free1):
-        sel = free2 & (groups2 == groups1[i]) & ~used2
-        sel &= dist[i] <= HAMMING_DIST_THR_LOW
-        sel &= epi_inlier[i]
-        if not sel.any():
+        js = buckets.get(int(groups1[i]))
+        if js is None:
             continue
-        js = np.where(sel)[0]
+        keep = (~used2[js]) & (dist[i, js] <= HAMMING_DIST_THR_LOW) & epi_inlier[i, js]
+        js = js[keep]
+        if len(js) == 0:
+            continue
         d = dist[i, js]
         m = d.min()
         best = int(js[np.where(d == m)[0][-1]])  # ties -> last index wins

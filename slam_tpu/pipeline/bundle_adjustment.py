@@ -250,11 +250,16 @@ class _ProblemBuilder:
             pr_sqrt_info=jnp.asarray(pr_si), pr_valid=jnp.asarray(pr_valid))
 
     def solve(self, iterations: int) -> ba.BAResult:
+        import jax
         problem = self.build()
         # cg_iters is a static jit argument: derive it from the PADDED pose
         # count so each bucket size maps to exactly one compiled kernel
         cg = min(6 * _pad(len(self.kf_ids), 16), 96)
-        return ba.solve_ba(problem, iterations=int(iterations), cg_iters=int(cg))
+        result = ba.solve_ba(problem, iterations=int(iterations), cg_iters=int(cg))
+        # ONE device transfer for the whole result: prune/apply consume
+        # plain NumPy afterwards (three separate np.asarray() calls would
+        # each pay a full dispatch round trip)
+        return ba.BAResult(*jax.device_get(result))
 
     def apply_poses(self, result: ba.BAResult, map_db: MapDB,
                     only: Optional[Set[KfId]] = None) -> None:
@@ -380,11 +385,12 @@ def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
     stage2_fixed = np.ones(K, bool)
     stage2_fixed[:len(builder.kf_ids)] = False
     cg = min(6 * _pad(len(builder.kf_ids), 16), 96)
-    result = ba.solve_ba_two_stage(
+    import jax
+    result = ba.BAResult(*jax.device_get(ba.solve_ba_two_stage(
         problem, jnp.asarray(stage2_fixed),
         jnp.asarray(builder.kf_slot[keyframe.id]),
         jnp.asarray(_sqrt_info(anchor_info), jnp.float32),
-        iterations=int(iterations), cg_iters=int(cg))
+        iterations=int(iterations), cg_iters=int(cg))))
 
     builder.prune_outliers(result, map_db)
     builder.apply_poses(result, map_db)
