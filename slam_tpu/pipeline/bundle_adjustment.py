@@ -278,15 +278,15 @@ class _ProblemBuilder:
         """chi2 > 5.991 observation pruning (reference:
         bundle_adjuster.cpp:376-388)."""
         chi2 = np.asarray(result.obs_chi2)
-        for i, (kf_id, mp_id) in enumerate(self.obs_tag):
-            if chi2[i] > CHI2_THRESHOLD:
-                mp = map_db.map_points.get(mp_id)
-                if mp is None or kf_id not in mp.observations:
-                    continue
-                mp.erase_observation(kf_id)
-                map_db.keyframes[kf_id].erase_observation(mp_id)
-                if len(mp.observations) <= 2:
-                    mp.status = MapPointStatus.UNSURE
+        for i in np.flatnonzero(chi2[:len(self.obs_tag)] > CHI2_THRESHOLD):
+            kf_id, mp_id = self.obs_tag[i]
+            mp = map_db.map_points.get(mp_id)
+            if mp is None or kf_id not in mp.observations:
+                continue
+            mp.erase_observation(kf_id)
+            map_db.keyframes[kf_id].erase_observation(mp_id)
+            if len(mp.observations) <= 2:
+                mp.status = MapPointStatus.UNSURE
 
 
 # ---------------------------------------------------------------------------
