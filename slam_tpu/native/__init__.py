@@ -26,7 +26,9 @@ _tried = False
 
 
 def _build() -> Optional[str]:
-    flags = ["-O3", "-shared", "-fPIC", "-std=c++17"]
+    # -ffp-contract=off: the epipolar gate must evaluate double expressions in
+    # the same order as NumPy (no FMA contraction) so match gates agree exactly
+    flags = ["-O3", "-shared", "-fPIC", "-std=c++17", "-ffp-contract=off"]
     # -march=native when permitted; harmless to drop
     for extra in (["-march=native"], []):
         cmd = ["g++", *flags, *extra, _SRC, "-o", _LIB_PATH]
@@ -69,6 +71,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.seed_random.argtypes = [ctypes.c_uint32]
         lib.create_random_array.argtypes = [ctypes.c_int64, ctypes.c_int32,
                                             ctypes.c_int32, i32p]
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        f64p = np.ctypeslib.ndpointer(np.float64, flags="C_CONTIGUOUS")
+        lib.match_triangulation.argtypes = [
+            u32p, i32p, u8p, f64p, f64p, ctypes.c_int64,
+            u32p, i32p, u8p, f64p, ctypes.c_int64,
+            f64p, ctypes.c_int32, i64p]
+        lib.match_loop_closure.argtypes = [
+            u32p, i32p, u8p, ctypes.c_int64,
+            u32p, i32p, u8p, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_int32, ctypes.c_int32, i64p]
         _lib = lib
         return _lib
 
@@ -139,6 +151,56 @@ def radius_search(xs_sorted: np.ndarray, ys_sorted: np.ndarray,
     dx = qx - xs_sorted[lo:hi]
     dy = qy - ys_sorted[lo:hi]
     return lo + np.where(dx * dx + dy * dy < r * r)[0]
+
+
+def match_triangulation(desc1, groups1, free1, bearings1, sin_thr1,
+                        desc2, groups2, free2, bearings2,
+                        E12, thr_low: int) -> Optional[np.ndarray]:
+    """Fused bucketed triangulation matcher (semantics of
+    ops/matching.match_for_triangulation WITHOUT the angle check, which the
+    caller applies). Returns (N1,) matched index array, or None when the
+    native library is unavailable (caller falls back to the NumPy path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    desc1 = np.ascontiguousarray(desc1, np.uint32)
+    desc2 = np.ascontiguousarray(desc2, np.uint32)
+    groups1 = np.ascontiguousarray(groups1, np.int32)
+    groups2 = np.ascontiguousarray(groups2, np.int32)
+    free1 = np.ascontiguousarray(free1, np.uint8)
+    free2 = np.ascontiguousarray(free2, np.uint8)
+    bearings1 = np.ascontiguousarray(bearings1, np.float64)
+    bearings2 = np.ascontiguousarray(bearings2, np.float64)
+    sin_thr1 = np.ascontiguousarray(sin_thr1, np.float64)
+    E12 = np.ascontiguousarray(E12, np.float64)
+    out = np.empty(len(desc1), np.int64)
+    lib.match_triangulation(desc1, groups1, free1, bearings1, sin_thr1,
+                            len(desc1), desc2, groups2, free2, bearings2,
+                            len(desc2), E12, np.int32(thr_low), out)
+    return out
+
+
+def match_loop_closure(desc1, groups1, cand1, desc2, groups2, cand2,
+                       lowe_ratio: float, thr_low: int,
+                       max_dist: int) -> Optional[np.ndarray]:
+    """Fused bucketed loop-closure matcher (semantics of
+    ops/matching.match_loop_closure_descriptors WITHOUT the angle check).
+    Returns (N1,) matched index array, or None when native is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    desc1 = np.ascontiguousarray(desc1, np.uint32)
+    desc2 = np.ascontiguousarray(desc2, np.uint32)
+    groups1 = np.ascontiguousarray(groups1, np.int32)
+    groups2 = np.ascontiguousarray(groups2, np.int32)
+    cand1 = np.ascontiguousarray(cand1, np.uint8)
+    cand2 = np.ascontiguousarray(cand2, np.uint8)
+    out = np.empty(len(desc1), np.int64)
+    lib.match_loop_closure(desc1, groups1, cand1, len(desc1),
+                           desc2, groups2, cand2, len(desc2),
+                           float(lowe_ratio), np.int32(thr_low),
+                           np.int32(max_dist), out)
+    return out
 
 
 def create_random_array(n: int, lo: int, hi: int,

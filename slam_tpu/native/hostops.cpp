@@ -10,6 +10,7 @@
 // Build: g++ -O3 -march=native -shared -fPIC hostops.cpp -o libhostops.so
 
 #include <algorithm>
+#include <cmath>
 #include <cstdint>
 #include <cstring>
 #include <random>
@@ -93,6 +94,157 @@ int64_t radius_search(const float* xs, const float* ys, int64_t n,
         if (dx * dx + dy * dy < r2) out[count++] = i;
     }
     return count;
+}
+
+// ---------------------------------------------------------------------------
+// Fused bucketed greedy matchers (reference: keyframe_matcher.cpp:50-293).
+//
+// These fuse what the Python path does in three passes (full NxM Hamming
+// matrix, full NxM epipolar gate, Python greedy scan) into one pass that only
+// touches same-vocabulary-group candidate pairs. Semantics are kept identical
+// to ops/matching.py: iteration in (group, index) order on both sides, greedy
+// one-to-one assignment, last-minimum tie-breaking for triangulation and
+// first-minimum + Lowe ratio for loop closures. Epipolar math is double
+// precision in the same operation order as the NumPy expression (dot first,
+// then divide) so gates agree bit-for-bit (build uses -ffp-contract=off).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// indices of set mask entries, stable-ordered by (group, index)
+static std::vector<int64_t> bucket_order(const int32_t* groups,
+                                         const uint8_t* mask, int64_t n) {
+    std::vector<int64_t> idx;
+    idx.reserve(n);
+    for (int64_t i = 0; i < n; ++i)
+        if (mask[i]) idx.push_back(i);
+    std::stable_sort(idx.begin(), idx.end(), [&](int64_t a, int64_t b) {
+        return groups[a] < groups[b];
+    });
+    return idx;
+}
+
+// group id -> [begin, end) range inside a bucket_order vector
+struct GroupRanges {
+    std::vector<int32_t> group;
+    std::vector<int64_t> begin, end;
+    int64_t find(int32_t g) const {
+        auto it = std::lower_bound(group.begin(), group.end(), g);
+        if (it == group.end() || *it != g) return -1;
+        return it - group.begin();
+    }
+};
+
+static GroupRanges group_ranges(const std::vector<int64_t>& order,
+                                const int32_t* groups) {
+    GroupRanges r;
+    int64_t i = 0;
+    const int64_t n = (int64_t)order.size();
+    while (i < n) {
+        int64_t j = i;
+        const int32_t g = groups[order[i]];
+        while (j < n && groups[order[j]] == g) ++j;
+        r.group.push_back(g);
+        r.begin.push_back(i);
+        r.end.push_back(j);
+        i = j;
+    }
+    return r;
+}
+
+}  // namespace
+
+// Triangulation matching: same-group, both-free, dist<=thr_low, epipolar
+// inlier; running minimum with LAST-candidate tie win; greedy one-to-one.
+// bearings are double (n*3); E12 row-major 3x3; sin_thr1 per-kp1 gate.
+void match_triangulation(
+    const uint32_t* desc1, const int32_t* groups1, const uint8_t* free1,
+    const double* bearings1, const double* sin_thr1, int64_t n1,
+    const uint32_t* desc2, const int32_t* groups2, const uint8_t* free2,
+    const double* bearings2, int64_t n2,
+    const double* E12, int32_t thr_low, int64_t* matched) {
+    for (int64_t i = 0; i < n1; ++i) matched[i] = -1;
+    const std::vector<int64_t> order1 = bucket_order(groups1, free1, n1);
+    const std::vector<int64_t> order2 = bucket_order(groups2, free2, n2);
+    const GroupRanges ranges2 = group_ranges(order2, groups2);
+    if (order1.empty() || order2.empty()) return;
+
+    // epiplane normals in cam1 for side-2 candidates: ep_j = E12 @ b2_j
+    std::vector<double> ep(order2.size() * 3), epnorm(order2.size());
+    for (size_t k = 0; k < order2.size(); ++k) {
+        const double* b = bearings2 + 3 * order2[k];
+        double e0 = E12[0] * b[0] + E12[1] * b[1] + E12[2] * b[2];
+        double e1 = E12[3] * b[0] + E12[4] * b[1] + E12[5] * b[2];
+        double e2 = E12[6] * b[0] + E12[7] * b[1] + E12[8] * b[2];
+        ep[3 * k] = e0; ep[3 * k + 1] = e1; ep[3 * k + 2] = e2;
+        double nn = std::sqrt(e0 * e0 + e1 * e1 + e2 * e2);
+        epnorm[k] = nn > 1e-12 ? nn : 1e-12;
+    }
+
+    std::vector<uint8_t> used2(n2, 0);
+    for (const int64_t i : order1) {
+        const int64_t gi = ranges2.find(groups1[i]);
+        if (gi < 0) continue;
+        const uint32_t* di = desc1 + 8 * i;
+        const double* bi = bearings1 + 3 * i;
+        const double gate = sin_thr1[i];
+        int32_t best_d = thr_low;
+        int64_t best = -1;
+        for (int64_t k = ranges2.begin[gi]; k < ranges2.end[gi]; ++k) {
+            const int64_t j = order2[k];
+            if (used2[j]) continue;
+            const int d = desc_distance(di, desc2 + 8 * j);
+            if (d > thr_low) continue;
+            const double cosr = (bi[0] * ep[3 * k] + bi[1] * ep[3 * k + 1] +
+                                 bi[2] * ep[3 * k + 2]) / epnorm[k];
+            if (!(cosr < gate)) continue;
+            if (d <= best_d) { best_d = d; best = j; }
+        }
+        if (best >= 0) {
+            matched[i] = best;
+            used2[best] = 1;
+        }
+    }
+}
+
+// Loop-closure matching: same-group, both candidate, first-minimum wins ties,
+// best<=thr_low and lowe_ratio*second-best < best rejects; greedy one-to-one.
+void match_loop_closure(
+    const uint32_t* desc1, const int32_t* groups1, const uint8_t* cand1,
+    int64_t n1,
+    const uint32_t* desc2, const int32_t* groups2, const uint8_t* cand2,
+    int64_t n2,
+    double lowe_ratio, int32_t thr_low, int32_t max_dist, int64_t* matched) {
+    for (int64_t i = 0; i < n1; ++i) matched[i] = -1;
+    const std::vector<int64_t> order1 = bucket_order(groups1, cand1, n1);
+    const std::vector<int64_t> order2 = bucket_order(groups2, cand2, n2);
+    const GroupRanges ranges2 = group_ranges(order2, groups2);
+    if (order1.empty() || order2.empty()) return;
+
+    std::vector<uint8_t> used2(n2, 0);
+    for (const int64_t i : order1) {
+        const int64_t gi = ranges2.find(groups1[i]);
+        if (gi < 0) continue;
+        const uint32_t* di = desc1 + 8 * i;
+        int32_t best_d = max_dist + 1, second_d = max_dist;
+        int64_t best = -1;
+        for (int64_t k = ranges2.begin[gi]; k < ranges2.end[gi]; ++k) {
+            const int64_t j = order2[k];
+            if (used2[j]) continue;
+            const int d = desc_distance(di, desc2 + 8 * j);
+            if (d < best_d) {
+                if (best >= 0) second_d = best_d;
+                best_d = d;
+                best = j;
+            } else if (d < second_d) {
+                second_d = d;
+            }
+        }
+        if (best < 0 || best_d > thr_low) continue;
+        if (lowe_ratio * (double)second_d < (double)best_d) continue;
+        matched[i] = best;
+        used2[best] = 1;
+    }
 }
 
 // ---------------------------------------------------------------------------

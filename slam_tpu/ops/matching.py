@@ -83,6 +83,22 @@ def angle_check_invalid(delta_angles: np.ndarray, valid: np.ndarray) -> np.ndarr
     return out
 
 
+def apply_angle_check(matched: np.ndarray, angles1: np.ndarray,
+                      angles2: np.ndarray, as_pairs: bool = False):
+    """Orientation-consistency post-filter shared by the matchers: invalidate
+    matches outside the top-3 rotation-histogram bins. Used to finish the
+    native fused matchers (which return raw greedy assignments)."""
+    valid = matched >= 0
+    deltas = np.zeros(len(matched), dtype=np.float64)
+    deltas[valid] = angles1[valid] - angles2[matched[valid]]
+    bad = angle_check_invalid(deltas, valid)
+    matched = matched.copy()
+    matched[bad] = -1
+    if as_pairs:
+        return [(int(i), int(matched[i])) for i in np.where(matched >= 0)[0]]
+    return matched
+
+
 def _bucket_order(groups: np.ndarray, cand: np.ndarray) -> np.ndarray:
     """Iteration order of the reference's BoW-bucket loops: ascending node id,
     then ascending keypoint index within the node."""

@@ -76,6 +76,15 @@ def match_for_loop_closures(kf1: Keyframe, kf2: Keyframe, map_db1: MapDB,
         mp = map_db2.map_points[MpId(int(kf2.map_points[j]))]
         if mp.status != MapPointStatus.TRIANGULATED:
             cand2[j] = False
+    from slam_tpu import native
+    matched = native.match_loop_closure(
+        kf1.shared.descriptors, kf1.shared.groups, cand1,
+        kf2.shared.descriptors, kf2.shared.groups, cand2,
+        parameters.loopClosureFeatureMatchLoweRatio,
+        HAMMING_DIST_THR_LOW, MAX_HAMMING_DIST)
+    if matched is not None:
+        return matching.apply_angle_check(matched, kf1.shared.angle,
+                                          kf2.shared.angle)
     dist = _distance_matrix(kf1.shared.descriptors, kf2.shared.descriptors)
     return matching.match_loop_closure_descriptors(
         dist, kf1.shared.groups, kf2.shared.groups, cand1, cand2,
@@ -96,12 +105,24 @@ def match_for_triangulation(kf1: Keyframe, kf2: Keyframe,
         kf1.pose_cw[:3, :3], kf1.pose_cw[:3, 3])
     sf = settings.scaleFactors
     scale_1 = np.asarray(sf)[np.clip(kf1.shared.octave, 0, len(sf) - 1)]
+    free1 = kf1.map_points < 0
+    free2 = kf2.map_points < 0
+    from slam_tpu import native
+    sin_thr = np.sin(np.radians(
+        settings.parameters.slam.epipolarCheckThresholdDegrees) * scale_1)
+    matched = native.match_triangulation(
+        kf1.shared.descriptors, kf1.shared.groups, free1,
+        kf1.shared.bearings, sin_thr,
+        kf2.shared.descriptors, kf2.shared.groups, free2,
+        kf2.shared.bearings, E12, HAMMING_DIST_THR_LOW)
+    if matched is not None:
+        pairs = matching.apply_angle_check(matched, kf1.shared.angle,
+                                           kf2.shared.angle, as_pairs=True)
+        return [(KpId(a), KpId(b)) for a, b in pairs]
     epi = matching.epipolar_inlier_matrix(
         kf1.shared.bearings, kf2.shared.bearings, E12, scale_1,
         settings.parameters.slam.epipolarCheckThresholdDegrees)
     dist = _distance_matrix(kf1.shared.descriptors, kf2.shared.descriptors)
-    free1 = kf1.map_points < 0
-    free2 = kf2.map_points < 0
     pairs = matching.match_for_triangulation(
         dist, kf1.shared.groups, kf2.shared.groups, free1, free2, epi,
         kf1.shared.angle, kf2.shared.angle)

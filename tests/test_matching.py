@@ -169,3 +169,70 @@ class TestTriangulationMatcher:
             free1, np.ones(3, bool), np.ones((3, 3), bool),
             np.zeros(3), np.zeros(3))
         assert 1 not in dict(pairs)
+
+
+class TestNativeFusedMatchers:
+    """The C++ fused matchers must agree exactly with the NumPy reference
+    paths (same greedy order, tie-breaking, gates) on random problems."""
+
+    def _random_problem(self, n1, n2, n_groups, seed):
+        r = np.random.default_rng(seed)
+        d1 = r.integers(0, 2**32, size=(n1, 8), dtype=np.uint32)
+        d2 = r.integers(0, 2**32, size=(n2, 8), dtype=np.uint32)
+        # clone some descriptors across sides so distances go below THR_LOW
+        for i in range(0, min(n1, n2), 2):
+            d2[i] = d1[i]
+            flip = r.integers(0, 8)
+            d2[i, flip] ^= np.uint32(1) << np.uint32(r.integers(0, 32))
+        g1 = r.integers(0, n_groups, n1).astype(np.int64)
+        g2 = r.integers(0, n_groups, n2).astype(np.int64)
+        m1 = r.random(n1) < 0.8
+        m2 = r.random(n2) < 0.8
+        a1 = r.uniform(0, 360, n1)
+        a2 = r.uniform(0, 360, n2)
+        b1 = r.normal(size=(n1, 3))
+        b1 /= np.linalg.norm(b1, axis=1, keepdims=True)
+        b2 = r.normal(size=(n2, 3))
+        b2 /= np.linalg.norm(b2, axis=1, keepdims=True)
+        return d1, d2, g1, g2, m1, m2, a1, a2, b1, b2
+
+    def test_triangulation_matcher_matches_numpy(self):
+        from slam_tpu import native
+        if not native.available():
+            import pytest
+            pytest.skip("no native toolchain")
+        for seed in range(4):
+            (d1, d2, g1, g2, m1, m2, a1, a2,
+             b1, b2) = self._random_problem(120, 140, 12, seed)
+            r = np.random.default_rng(100 + seed)
+            E12 = r.normal(size=(3, 3))
+            scale_1 = 1.2 ** r.integers(0, 8, len(d1)).astype(np.float64)
+            thr_deg = 1.0 + 3.0 * r.random()
+            sin_thr = np.sin(np.radians(thr_deg) * scale_1)
+            got = native.match_triangulation(
+                d1, g1, m1, b1, sin_thr, d2, g2, m2, b2, E12,
+                hamming.HAMMING_DIST_THR_LOW)
+            got_pairs = matching.apply_angle_check(got, a1, a2, as_pairs=True)
+            epi = matching.epipolar_inlier_matrix(b1, b2, E12, scale_1, thr_deg)
+            dist = hamming.hamming_matrix_host(d1, d2)
+            want = matching.match_for_triangulation(
+                dist, g1, g2, m1, m2, epi, a1, a2)
+            assert got_pairs == want, f"seed {seed}"
+
+    def test_loop_closure_matcher_matches_numpy(self):
+        from slam_tpu import native
+        if not native.available():
+            import pytest
+            pytest.skip("no native toolchain")
+        for seed in range(4):
+            (d1, d2, g1, g2, m1, m2, a1, a2,
+             _, _) = self._random_problem(120, 140, 12, 50 + seed)
+            lowe = 0.9
+            got = native.match_loop_closure(
+                d1, g1, m1, d2, g2, m2, lowe,
+                hamming.HAMMING_DIST_THR_LOW, hamming.MAX_HAMMING_DIST)
+            got = matching.apply_angle_check(got, a1, a2)
+            dist = hamming.hamming_matrix_host(d1, d2)
+            want = matching.match_loop_closure_descriptors(
+                dist, g1, g2, m1, m2, a1, a2, lowe_ratio=lowe)
+            assert np.array_equal(got, want), f"seed {seed}"
