@@ -94,7 +94,7 @@ def _prewarm_ba_buckets(settings, max_mps=1024, max_obs=4096):
             for O in range(1024, max_obs + 1, 1024):
                 p = dummy_problem(K, M, O)
                 fixed2 = jnp.zeros(K, bool)
-                cg = min(96, 96)
+                cg = ba.pick_cg_iters(K, M)
                 ba.solve_ba(p, iterations=10, cg_iters=cg)
                 ba.solve_ba(p, iterations=iters, cg_iters=cg)
                 ba.solve_ba_two_stage(p, fixed2, jnp.asarray(1), anchor,

@@ -226,31 +226,57 @@ def _lm_run(p: BAProblem, iterations: int, cg_iters: int,
         rhs = bp - Hpl_apply(jnp.einsum("mij,mj->mi", Hll_inv, bl))
         rhs = jnp.where(p.pose_fixed[:, None], 0.0, rhs)
 
-        # --- PCG with block-Jacobi preconditioner
-        Minv = jnp.linalg.inv(Hpp_d)
+        if cg_iters == 0:
+            # --- dense Schur: form the reduced (6K, 6K) camera system and
+            # solve it directly. For the bounded local-BA problem sizes the
+            # sequential-latency cost of ~cg_iters PCG steps (each a chain of
+            # small gathers/segment-sums) dwarfs the FLOPs of building S
+            # densely — one einsum chain on the MXU plus one small dense
+            # solve per LM iteration is far faster on TPU.
+            Wkm = seg(jnp.einsum("oci,ocj->oij", J_pose, J_pt),
+                      p.obs_kf * M + p.obs_mp, K * M).reshape(K, M, 6, 3)
+            Y = jnp.einsum("kmij,mjl->kmil", Wkm, Hll_inv)
+            S = -jnp.einsum("kmil,qmjl->kqij", Y, Wkm)
+            S = S + seg(Wab, p.pe_a * K + p.pe_b, K * K).reshape(K, K, 6, 6)
+            S = S + seg(jnp.swapaxes(Wab, -1, -2),
+                        p.pe_b * K + p.pe_a, K * K).reshape(K, K, 6, 6)
+            diag = jnp.arange(K)
+            S = S.at[diag, diag].add(Hpp_d)
+            # fixed poses: identity rows/cols + zero rhs => dx stays 0
+            S = jnp.where(p.pose_fixed[:, None, None, None], 0.0, S)
+            S = jnp.where(p.pose_fixed[None, :, None, None], 0.0, S)
+            S = S.at[diag, diag].add(
+                jnp.where(p.pose_fixed[:, None, None],
+                          jnp.eye(6, dtype=poses.dtype)[None], 0.0))
+            Sfull = S.transpose(0, 2, 1, 3).reshape(6 * K, 6 * K)
+            dx_p = jnp.linalg.solve(Sfull, rhs.reshape(-1)).reshape(K, 6)
+        else:
+            # --- implicit Schur + PCG with block-Jacobi preconditioner (for
+            # problem sizes where the dense W tensor would not fit)
+            Minv = jnp.linalg.inv(Hpp_d)
 
-        def precond(x):
-            return jnp.einsum("kij,kj->ki", Minv, x)
+            def precond(x):
+                return jnp.einsum("kij,kj->ki", Minv, x)
 
-        x0 = jnp.zeros_like(rhs)
-        r0 = rhs
-        z0 = precond(r0)
-        d0 = z0
+            x0 = jnp.zeros_like(rhs)
+            r0 = rhs
+            z0 = precond(r0)
+            d0 = z0
 
-        def cg_step(carry, _):
-            x, r, z, d = carry
-            Ad = S_apply(d)
-            rz = jnp.sum(r * z)
-            alpha = rz / jnp.maximum(jnp.sum(d * Ad), 1e-20)
-            x = x + alpha * d
-            r_new = r - alpha * Ad
-            z_new = precond(r_new)
-            beta = jnp.sum(r_new * z_new) / jnp.maximum(rz, 1e-20)
-            d_new = z_new + beta * d
-            return (x, r_new, z_new, d_new), None
+            def cg_step(carry, _):
+                x, r, z, d = carry
+                Ad = S_apply(d)
+                rz = jnp.sum(r * z)
+                alpha = rz / jnp.maximum(jnp.sum(d * Ad), 1e-20)
+                x = x + alpha * d
+                r_new = r - alpha * Ad
+                z_new = precond(r_new)
+                beta = jnp.sum(r_new * z_new) / jnp.maximum(rz, 1e-20)
+                d_new = z_new + beta * d
+                return (x, r_new, z_new, d_new), None
 
-        (dx_p, _, _, _), _ = jax.lax.scan(cg_step, (x0, r0, z0, d0), None,
-                                          length=cg_iters)
+            (dx_p, _, _, _), _ = jax.lax.scan(cg_step, (x0, r0, z0, d0), None,
+                                              length=cg_iters)
         dx_p = jnp.where(p.pose_fixed[:, None], 0.0, dx_p)
         dx_l = jnp.einsum("mij,mj->mi", Hll_inv, bl - Hlp_apply(dx_p))
         dx_l = jnp.where(p.points_fixed[:, None], 0.0, dx_l)
@@ -275,6 +301,19 @@ def _lm_run(p: BAProblem, iterations: int, cg_iters: int,
         None, length=iterations)
     _, chi2 = _total_cost(poses, points, p, huber_delta)
     return BAResult(poses, points, chi2, cost)
+
+
+# Largest padded K*M for which the dense-Schur path builds its (K, M, 6, 3)
+# coupling tensor (72 B/pair): 1M pairs = 72 MB of HBM. Above this, PCG.
+DENSE_SCHUR_MAX_KM = 1 << 20
+
+
+def pick_cg_iters(n_poses_padded: int, n_points_padded: int) -> int:
+    """Static solver selection shared by every BA call site (compile key!):
+    0 = dense Schur direct solve, else the PCG iteration budget."""
+    if n_poses_padded * n_points_padded <= DENSE_SCHUR_MAX_KM:
+        return 0
+    return min(6 * n_poses_padded, 96)
 
 
 @functools.partial(jax.jit, static_argnames=("iterations", "cg_iters"))

@@ -252,9 +252,9 @@ class _ProblemBuilder:
     def solve(self, iterations: int) -> ba.BAResult:
         import jax
         problem = self.build()
-        # cg_iters is a static jit argument: derive it from the PADDED pose
-        # count so each bucket size maps to exactly one compiled kernel
-        cg = min(6 * _pad(len(self.kf_ids), 16), 96)
+        # cg_iters is a static jit argument: derive it from the PADDED shapes
+        # so each bucket size maps to exactly one compiled kernel (0 = dense)
+        cg = ba.pick_cg_iters(problem.poses.shape[0], problem.points.shape[0])
         result = ba.solve_ba(problem, iterations=int(iterations), cg_iters=int(cg))
         # ONE device transfer for the whole result: prune/apply consume
         # plain NumPy afterwards (three separate np.asarray() calls would
@@ -384,7 +384,7 @@ def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
     K = problem.poses.shape[0]
     stage2_fixed = np.ones(K, bool)
     stage2_fixed[:len(builder.kf_ids)] = False
-    cg = min(6 * _pad(len(builder.kf_ids), 16), 96)
+    cg = ba.pick_cg_iters(problem.poses.shape[0], problem.points.shape[0])
     import jax
     result = ba.BAResult(*jax.device_get(ba.solve_ba_two_stage(
         problem, jnp.asarray(stage2_fixed),

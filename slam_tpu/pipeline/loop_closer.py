@@ -24,7 +24,7 @@ from slam_tpu.ops.ransac import Sim3Ransac
 from slam_tpu.ops.sim3_opt import optimize_sim3_transform
 from slam_tpu.params import StaticSettings
 from slam_tpu.pipeline import matcher
-from slam_tpu.pipeline.mapper_helpers import triangulate_map_point
+from slam_tpu.pipeline.mapper_helpers import triangulate_map_points
 from slam_tpu.pipeline.relocation import try_relocation
 from slam_tpu.utils.stats import Loop, LoopCloserStats
 
@@ -333,9 +333,9 @@ class LoopCloser:
             mp.update_descriptor(map_db)
             mp.update_distance_and_norm(map_db, self.settings)
 
-        # global retriangulation (loop_closer.cpp:509-527)
-        for mp in list(map_db.map_points.values()):
-            triangulate_map_point(map_db, mp, self.settings)
+        # global retriangulation (loop_closer.cpp:509-527), batched
+        triangulate_map_points(map_db, list(map_db.map_points.values()),
+                               self.settings)
 
         # merge matched map-point pairs (loop_closer.cpp:531-546)
         merged = set()

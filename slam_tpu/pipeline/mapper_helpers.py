@@ -498,6 +498,181 @@ def triangulate_map_point(map_db: MapDB, map_point: MapPoint,
     map_point.status = status_if_ok
 
 
+@timed
+def triangulate_map_points(map_db: MapDB, mps, settings: StaticSettings,
+                           method: str = "tme") -> None:
+    """Batched ``triangulate_map_point`` over many map points at once
+    (reference: mapper_helpers.cpp:600-722 semantics, identical gates).
+
+    One set of vectorized gathers/solves replaces per-point NumPy calls
+    (~0.5 ms each); depth-seeded points and non-default methods fall back to
+    the scalar path (rare: stereo input only).
+    """
+    parameters = settings.parameters.slam
+    mps = list(mps)
+    if method != "tme":
+        for mp in mps:
+            triangulate_map_point(map_db, mp, settings, method)
+        return
+
+    metas = []
+    for mp in mps:
+        obs = sorted(mp.observations.items())
+        if len(obs) < 2:
+            mp.status = MapPointStatus.NOT_TRIANGULATED
+            continue
+        metas.append((mp, obs))
+    if not metas:
+        return
+
+    rows_pt, rows_kf, rows_kp = [], [], []
+    for i, (mp, obs) in enumerate(metas):
+        for kf_id, kp_id in obs:
+            rows_pt.append(i)
+            rows_kf.append(kf_id)
+            rows_kp.append(int(kp_id))
+    R = len(rows_pt)
+    P = len(metas)
+    rows_pt = np.asarray(rows_pt, np.int64)
+    rows_kp_arr = np.asarray(rows_kp, np.int64)
+    n_obs = np.bincount(rows_pt, minlength=P)
+
+    rays = np.zeros((R, 3))
+    depth = np.zeros(R)
+    npix = np.zeros((R, 2))
+    nok = np.zeros(R, bool)
+    pose_rows = np.zeros((R, 3, 4))
+    octv = np.zeros(R, np.int64)
+    pts2d = np.zeros((R, 2))
+    rel = np.zeros(R)
+    groups: dict = {}
+    for r, kf_id in enumerate(rows_kf):
+        groups.setdefault(kf_id, []).append(r)
+    for kf_id, rs_list in groups.items():
+        kf = map_db.keyframes[kf_id]
+        rs = np.asarray(rs_list)
+        kps = rows_kp_arr[rs]
+        rays[rs] = kf.shared.bearings[kps] @ kf.camera_to_world_rotation().T
+        depth[rs] = kf.keypoint_depth[kps]
+        pix, okp = kf.shared.camera.normalize_pixel(kf.shared.pts[kps])
+        npix[rs] = pix
+        nok[rs] = okp
+        pose_rows[rs] = kf.pose_cw[:3]
+        octv[rs] = kf.shared.octave[kps]
+        pts2d[rs] = kf.shared.pts[kps]
+        rel[rs] = (get_focal_length(kf)
+                   * parameters.relativeReprojectionErrorThreshold)
+
+    # depth-seeded points take the scalar path (status untouched so far, so
+    # the scalar function sees the original was_triangulated state)
+    has_depth = np.bincount(rows_pt, weights=(depth > 0), minlength=P) > 0
+    was_tri = np.array([mp.status != MapPointStatus.NOT_TRIANGULATED
+                        for mp, _ in metas])
+    fallback = has_depth & ~was_tri
+    for i in np.flatnonzero(fallback):
+        triangulate_map_point(map_db, metas[i][0], settings, method)
+    live = ~fallback
+    for i in np.flatnonzero(live):
+        metas[i][0].status = MapPointStatus.NOT_TRIANGULATED
+
+    # --- triangulation-angle gates over padded (P, Mo, 3) rays
+    Mo = int(n_obs.max())
+    start = np.r_[0, np.cumsum(n_obs)[:-1]]
+    cum = np.arange(R) - start[rows_pt]
+    rays_p = np.zeros((P, Mo, 3))
+    mask_p = np.zeros((P, Mo), bool)
+    rays_p[rows_pt, cum] = rays
+    mask_p[rows_pt, cum] = True
+    u = rays_p / np.maximum(np.linalg.norm(rays_p, axis=2, keepdims=True), 1e-12)
+    dots = np.einsum("pmi,pni->pmn", u, u)
+    pair_mask = (mask_p[:, :, None] & mask_p[:, None, :]
+                 & np.triu(np.ones((Mo, Mo), bool), 1)[None])
+    cos_multi = np.cos(np.radians(parameters.minTriangulationAngleMultipleObs))
+    cos_two = np.cos(np.radians(parameters.minTriangulationAngleTwoObs))
+    wide_multi = np.any((dots < cos_multi) & pair_mask, axis=(1, 2))
+    wide_two = np.any((dots < cos_two) & pair_mask, axis=(1, 2))
+    passed_multi = (n_obs > 2) & wide_multi
+    proceed = live & (passed_multi | wide_two)
+
+    n_ok = np.bincount(rows_pt, weights=nok, minlength=P).astype(np.int64)
+    proceed &= n_ok >= 2
+    if not proceed.any():
+        return
+
+    # rank of each normalized-ok observation within its point
+    csum = np.cumsum(nok.astype(np.int64))
+    seg_before = np.where(start > 0, csum[np.maximum(start - 1, 0)], 0)
+    rank = np.where(nok, csum - 1 - seg_before[rows_pt], -1)
+
+    X = np.zeros((P, 3))
+    solved = np.zeros(P, bool)
+
+    # two normalized observations: DLT (SVD of the stacked 4x4 design)
+    two = proceed & (n_ok == 2)
+    if two.any():
+        first_row = np.full(P, -1, np.int64)
+        second_row = np.full(P, -1, np.int64)
+        sel0 = np.flatnonzero(rank == 0)
+        sel1 = np.flatnonzero(rank == 1)
+        first_row[rows_pt[sel0]] = sel0
+        second_row[rows_pt[sel1]] = sel1
+        pi = np.flatnonzero(two)
+        r0, r1 = first_row[pi], second_row[pi]
+        A = np.stack([
+            npix[r0, 0, None] * pose_rows[r0, 2] - pose_rows[r0, 0],
+            npix[r0, 1, None] * pose_rows[r0, 2] - pose_rows[r0, 1],
+            npix[r1, 0, None] * pose_rows[r1, 2] - pose_rows[r1, 0],
+            npix[r1, 1, None] * pose_rows[r1, 2] - pose_rows[r1, 1],
+        ], axis=1)
+        _, _, vt = np.linalg.svd(A)
+        Xh = vt[:, -1, :]
+        w = Xh[:, 3]
+        good = np.abs(w) > 1e-12
+        X[pi[good]] = Xh[good, :3] / w[good, None]
+        solved[pi[good]] = True
+
+    # >2 normalized observations: accumulated-cost eigen solve
+    many = proceed & (n_ok > 2)
+    if many.any():
+        h = np.concatenate([npix, np.ones((R, 1))], axis=1)
+        h = h / np.linalg.norm(h, axis=1, keepdims=True)
+        proj = np.einsum("ri,rj,rjk->rik", h, h, pose_rows)
+        cost = (pose_rows - proj) * (nok & many[rows_pt])[:, None, None]
+        ctc = np.einsum("rij,rik->rjk", cost, cost)
+        design = np.zeros((P, 4, 4))
+        np.add.at(design, rows_pt, ctc)
+        pi = np.flatnonzero(many)
+        _, v = np.linalg.eigh(design[pi])
+        Xh = v[:, :, 0]
+        w = Xh[:, 3]
+        good = np.abs(w) > 1e-12
+        X[pi[good]] = Xh[good, :3] / w[good, None]
+        solved[pi[good]] = True
+
+    # --- positive-depth + octave-scaled chi2 gates on every observation
+    Xr = X[rows_pt]
+    z = np.einsum("rj,rj->r", pose_rows[:, 2, :3], Xr) + pose_rows[:, 2, 3]
+    repro_ok = np.zeros(R, bool)
+    err = np.zeros(R)
+    for kf_id, rs_list in groups.items():
+        kf = map_db.keyframes[kf_id]
+        rs = np.asarray(rs_list)
+        pix, okv = kf.reproject_many(X[rows_pt[rs]])
+        err[rs] = np.sum((pix - pts2d[rs]) ** 2, axis=1)
+        repro_ok[rs] = okv
+    ref_scale = len(settings.scaleFactors) // 2
+    sigma2 = (settings.levelSigmaSq[octv] / settings.levelSigmaSq[ref_scale]
+              * rel * rel)
+    row_bad = ~((z > 0) & repro_ok & (err <= CHI2_INV2D * sigma2))
+    all_ok = np.bincount(rows_pt, weights=row_bad, minlength=P) == 0
+
+    for i in np.flatnonzero(proceed & solved & all_ok):
+        mp = metas[i][0]
+        mp.position = X[i].copy()
+        mp.status = (MapPointStatus.TRIANGULATED if passed_multi[i]
+                     else MapPointStatus.UNSURE)
+
+
 def triangulate_map_point_first_last_obs(map_db: MapDB, map_point: MapPoint,
                                          settings: StaticSettings) -> None:
     """reference: mapper_helpers.cpp:724-812"""
@@ -640,12 +815,14 @@ def add_keyframe_common_inner(map_db: MapDB, current_keyframe: Keyframe,
                             ps.localBAProblemSize, settings)
         # retriangulate current-KF points not locked in by BA
         # (mapper_helpers.cpp:1084-1092)
+        retri = []
         for mp_val in current_keyframe.map_points:
             if mp_val < 0:
                 continue
             mp = map_db.map_points[MpId(int(mp_val))]
             if mp.status != MapPointStatus.TRIANGULATED or len(mp.observations) >= 2:
-                triangulate_map_point(map_db, mp, settings)
+                retri.append(mp)
+        triangulate_map_points(map_db, retri, settings)
 
     cull_map_points(current_keyframe, map_db, ps)
     cull_keyframes(adjacent_kf_ids, map_db, bow_index, ps)

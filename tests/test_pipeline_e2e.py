@@ -157,3 +157,32 @@ class TestFrontendBackendThreaded:
                                - se3.camera_center(world.poses_cw[i]))
                 for i, p in enumerate(poses)]
         assert np.median(errs) < 0.1
+
+
+class TestBatchedTriangulation:
+    def test_batch_matches_scalar(self):
+        """triangulate_map_points (batched) must reproduce the scalar
+        triangulate_map_point on every live map point of a real episode."""
+        from slam_tpu.pipeline import mapper_helpers as mh
+        from slam_tpu.params import StaticSettings
+
+        world = make_world(n_frames=24, n_landmarks=250, odom_noise=0.002)
+        mapper, _, _ = run_sequence(world, default_params())
+        settings = mapper.settings
+
+        mdb_a = mapper.map_db.copy()
+        mdb_b = mapper.map_db.copy()
+        for mp in list(mdb_a.map_points.values()):
+            mh.triangulate_map_point(mdb_a, mp, settings)
+        mh.triangulate_map_points(mdb_b, list(mdb_b.map_points.values()),
+                                  settings)
+
+        assert set(mdb_a.map_points) == set(mdb_b.map_points)
+        n_checked = 0
+        for mp_id, a in mdb_a.map_points.items():
+            b = mdb_b.map_points[mp_id]
+            assert a.status == b.status, mp_id
+            np.testing.assert_allclose(a.position, b.position,
+                                       rtol=1e-7, atol=1e-9)
+            n_checked += 1
+        assert n_checked > 50
