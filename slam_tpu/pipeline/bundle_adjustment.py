@@ -29,7 +29,7 @@ from slam_tpu.ops import ba
 from slam_tpu.params import StaticSettings
 from slam_tpu.pipeline.adjacency import compute_adjacent_keyframes
 from slam_tpu.utils.stats import Ba, BaStats
-from slam_tpu.utils.timer import timed
+from slam_tpu.utils.timer import section, timed
 
 CHI2_THRESHOLD = ba.CHI2_THRESHOLD
 
@@ -380,21 +380,24 @@ def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
     r = 100.0 * parameters.odometryPriorStrengthRotation
     anchor_info = np.zeros((6, 6))
     anchor_info[:3, :3] = np.eye(3) * r * r
-    problem = builder.build()
+    with section("ba_build"):
+        problem = builder.build()
     K = problem.poses.shape[0]
     stage2_fixed = np.ones(K, bool)
     stage2_fixed[:len(builder.kf_ids)] = False
     cg = ba.pick_cg_iters(problem.poses.shape[0], problem.points.shape[0])
     import jax
-    result = ba.BAResult(*jax.device_get(ba.solve_ba_two_stage(
-        problem, jnp.asarray(stage2_fixed),
-        jnp.asarray(builder.kf_slot[keyframe.id]),
-        jnp.asarray(_sqrt_info(anchor_info), jnp.float32),
-        iterations=int(iterations), cg_iters=int(cg))))
+    with section("ba_solve_device"):
+        result = ba.BAResult(*jax.device_get(ba.solve_ba_two_stage(
+            problem, jnp.asarray(stage2_fixed),
+            jnp.asarray(builder.kf_slot[keyframe.id]),
+            jnp.asarray(_sqrt_info(anchor_info), jnp.float32),
+            iterations=int(iterations), cg_iters=int(cg))))
 
-    builder.prune_outliers(result, map_db)
-    builder.apply_poses(result, map_db)
-    builder.apply_points(result, map_db)
+    with section("ba_apply"):
+        builder.prune_outliers(result, map_db)
+        builder.apply_poses(result, map_db)
+        builder.apply_points(result, map_db)
     workspace.ba_stats.update(Ba.LOCAL)
     return set(local_map_points)
 

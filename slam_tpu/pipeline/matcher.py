@@ -148,6 +148,15 @@ def search_by_projection(kf: Keyframe, mp_ids: List[MpId], map_db: MapDB,
     mp_descs = np.stack([mp.descriptor for mp in mps])
     dist_all = _distance_matrix(mp_descs, kf.shared.descriptors)
 
+    # "already owned by a live map point" per keypoint, maintained
+    # incrementally as the greedy loop claims keypoints (identical to the
+    # reference's at-iteration ownership check, keyframe_matcher.cpp:339-344:
+    # ownership only changes here through add_observation on the claimed slot)
+    owned = np.zeros(kf.shared.num_keypoints, bool)
+    for j in np.flatnonzero(kf.map_points >= 0):
+        mp_j = map_db.map_points.get(MpId(int(kf.map_points[j])))
+        owned[j] = mp_j is not None and len(mp_j.observations) > 0
+
     for k, mp in enumerate(mps):
         if not visible[k]:
             continue
@@ -165,13 +174,9 @@ def search_by_projection(kf: Keyframe, mp_ids: List[MpId], map_db: MapDB,
         idxs = kf.get_features_around(pix[k], radius)
         if len(idxs) == 0:
             continue
-        # skip keypoints already owned by a live map point
         cand = np.zeros(kf.shared.num_keypoints, bool)
-        for j in idxs:
-            owner = int(kf.map_points[j])
-            if owner >= 0 and len(map_db.map_points[MpId(owner)].observations) > 0:
-                continue
-            cand[j] = True
+        cand[idxs] = True
+        cand &= ~owned
         best_idx, best_d, best_l, second_d, second_l = matching.radius_best_match(
             dist_all[k], cand, kf.shared.octave)
         if best_idx == -1:
@@ -181,6 +186,7 @@ def search_by_projection(kf: Keyframe, mp_ids: List[MpId], map_db: MapDB,
                 continue
             kf.add_observation(mp.id, KpId(best_idx))
             mp.add_observation(kf.id, KpId(best_idx))
+            owned[best_idx] = True
             match_count += 1
     return match_count
 

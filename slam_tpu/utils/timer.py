@@ -64,6 +64,13 @@ def disable_timing() -> None:
     TIME_STATS = None
 
 
+def section(name: str):
+    """Context manager: time a named sub-stage when timing is enabled."""
+    if TIME_STATS is None:
+        return contextlib.nullcontext()
+    return TIME_STATS.time(name)
+
+
 def timed(fn):
     """Decorator: time the function under its own name when enabled."""
 
