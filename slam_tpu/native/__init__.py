@@ -81,6 +81,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             u32p, i32p, u8p, ctypes.c_int64,
             u32p, i32p, u8p, ctypes.c_int64,
             ctypes.c_double, ctypes.c_int32, ctypes.c_int32, i64p]
+        lib.radius_hamming_best.argtypes = [
+            f32p, f32p, i64p, ctypes.c_int64, u32p, i32p,
+            f32p, f32p, f32p, u32p, i32p, i32p, ctypes.c_int64,
+            i64p, i32p]
         _lib = lib
         return _lib
 
@@ -201,6 +205,40 @@ def match_loop_closure(desc1, groups1, cand1, desc2, groups2, cand2,
                            float(lowe_ratio), np.int32(thr_low),
                            np.int32(max_dist), out)
     return out
+
+
+def radius_hamming_best(xs_sorted, ys_sorted, order, descs, octaves,
+                        qx, qy, qr, qdesc, qlvl_min=None, qlvl_max=None):
+    """For each query circle: first-minimum Hamming match among keypoints
+    strictly inside (scanned in y order, matching ``np.argmin`` over
+    ``get_features_around`` hits), with optional per-query octave bands.
+    Returns (best_idx int64 (C,), best_dist int32 (C,)); best_idx -1 and
+    dist 256 when no hit. None when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    xs = np.ascontiguousarray(xs_sorted, np.float32)
+    ys = np.ascontiguousarray(ys_sorted, np.float32)
+    order = np.ascontiguousarray(order, np.int64)
+    descs = np.ascontiguousarray(descs, np.uint32)
+    octaves = np.ascontiguousarray(octaves, np.int32)
+    qx = np.ascontiguousarray(qx, np.float32)
+    qy = np.ascontiguousarray(qy, np.float32)
+    qr = np.ascontiguousarray(qr, np.float32)
+    qdesc = np.ascontiguousarray(qdesc, np.uint32)
+    c = len(qx)
+    if qlvl_min is None:
+        qlvl_min = np.full(c, -(1 << 30), np.int32)
+    if qlvl_max is None:
+        qlvl_max = np.full(c, 1 << 30, np.int32)
+    qlvl_min = np.ascontiguousarray(qlvl_min, np.int32)
+    qlvl_max = np.ascontiguousarray(qlvl_max, np.int32)
+    best_idx = np.empty(c, np.int64)
+    best_dist = np.empty(c, np.int32)
+    lib.radius_hamming_best(xs, ys, order, len(ys), descs, octaves,
+                            qx, qy, qr, qdesc, qlvl_min, qlvl_max, c,
+                            best_idx, best_dist)
+    return best_idx, best_dist
 
 
 def create_random_array(n: int, lo: int, hi: int,

@@ -248,6 +248,43 @@ void match_loop_closure(
 }
 
 // ---------------------------------------------------------------------------
+// Fused radius search + Hamming argmin (projection-matcher inner loop:
+// keyframe_matcher.cpp:416-529 / 552-631). For each query: keypoints strictly
+// inside the circle (y-sorted scan, same order as radius_search), optional
+// octave band filter, first-minimum Hamming distance. xs/ys are y-sorted;
+// `order` maps sorted index -> original keypoint index; descriptors/octaves
+// are in original order.
+// ---------------------------------------------------------------------------
+
+void radius_hamming_best(
+    const float* xs, const float* ys, const int64_t* order, int64_t n,
+    const uint32_t* descs, const int32_t* octaves,
+    const float* qx, const float* qy, const float* qr,
+    const uint32_t* qdesc, const int32_t* qlvl_min, const int32_t* qlvl_max,
+    int64_t c, int64_t* best_idx, int32_t* best_dist) {
+    for (int64_t q = 0; q < c; ++q) {
+        const float r = qr[q], x = qx[q], y = qy[q];
+        const float r2 = r * r;
+        const float* lo = std::lower_bound(ys, ys + n, y - r);
+        const uint32_t* qd = qdesc + 8 * q;
+        const int32_t lmin = qlvl_min[q], lmax = qlvl_max[q];
+        int32_t bd = INT32_MAX;
+        int64_t bi = -1;
+        for (int64_t i = lo - ys; i < n && ys[i] <= y + r; ++i) {
+            const float dx = x - xs[i], dy = y - ys[i];
+            if (dx * dx + dy * dy >= r2) continue;
+            const int64_t oi = order[i];
+            const int32_t lvl = octaves[oi];
+            if (lvl < lmin || lvl > lmax) continue;
+            const int d = desc_distance(qd, descs + 8 * oi);
+            if (d < bd) { bd = d; bi = oi; }
+        }
+        best_idx[q] = bi;
+        best_dist[q] = bd == INT32_MAX ? 256 : bd;
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Deterministic unique random index arrays (reference: random_array.cc:21-62)
 // Thread-local MT19937 with the reference's fixed seed.
 // ---------------------------------------------------------------------------

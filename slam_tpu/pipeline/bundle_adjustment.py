@@ -105,7 +105,9 @@ class _ProblemBuilder:
         self.pose_fixed: List[bool] = []
         self.points: List[np.ndarray] = []
         self.points_fixed: List[bool] = []
-        self.obs: List[Tuple[int, int, float, float, float]] = []  # kf, mp, mx, my, sqrt_info
+        # columnar observation chunks: (kf_slot, mp_slots, meas, sqrt_info)
+        self.obs_chunks: List[Tuple[int, np.ndarray, np.ndarray, np.ndarray]] = []
+        self.n_obs = 0
         self.obs_tag: List[Tuple[KfId, MpId]] = []
         self.pe: List[Tuple[int, int, np.ndarray, np.ndarray]] = []
         self.priors: List[Tuple[int, np.ndarray, np.ndarray]] = []
@@ -133,15 +135,8 @@ class _ProblemBuilder:
     def add_observation(self, kf: Keyframe, kp_id: KpId, mp: MapPoint) -> None:
         """Normalized-camera measurement with focal^2/sigma^2 information
         (reference: bundle_adjuster.cpp:43-63)."""
-        kf_slot = self.kf_slot[kf.id]
-        mp_slot = self.mp_slot[mp.id]
-        bearing = kf.shared.bearings[int(kp_id)]
-        meas = bearing[:2] / bearing[2]
-        focal = float(kf.shared.camera.get_focal_length())
-        sigma_sq = float(self.settings.levelSigmaSq[int(kf.shared.octave[int(kp_id)])])
-        sqrt_info = focal / math.sqrt(sigma_sq)
-        self.obs.append((kf_slot, mp_slot, float(meas[0]), float(meas[1]), sqrt_info))
-        self.obs_tag.append((kf.id, mp.id))
+        self.add_observations_bulk(kf, np.asarray([int(kp_id)]),
+                                   np.asarray([self.mp_slot[mp.id]]), [mp.id])
 
     def add_observations_bulk(self, kf: Keyframe, kp_indices: np.ndarray,
                               mp_slots: np.ndarray, mp_ids) -> None:
@@ -149,14 +144,16 @@ class _ProblemBuilder:
         entering the problem (same measurement/information semantics)."""
         kf_slot = self.kf_slot[kf.id]
         bearings = kf.shared.bearings[kp_indices]
-        meas = bearings[:, :2] / bearings[:, 2:3]
+        meas = (bearings[:, :2] / bearings[:, 2:3]).astype(np.float32)
         focal = float(kf.shared.camera.get_focal_length())
-        si = focal / np.sqrt(
+        si = (focal / np.sqrt(
             self.settings.levelSigmaSq[kf.shared.octave[kp_indices]])
-        for k in range(len(kp_indices)):
-            self.obs.append((kf_slot, int(mp_slots[k]),
-                             float(meas[k, 0]), float(meas[k, 1]), float(si[k])))
-            self.obs_tag.append((kf.id, mp_ids[k]))
+              ).astype(np.float32)
+        self.obs_chunks.append(
+            (kf_slot, np.asarray(mp_slots, np.int32), meas, si))
+        self.n_obs += len(kp_indices)
+        kf_id = kf.id
+        self.obs_tag.extend((kf_id, m) for m in mp_ids)
 
     def add_odometry_edge(self, kf_id: KfId, prev_kf_id: KfId, map_db: MapDB) -> None:
         """vertex0 = kf, vertex1 = prev (reference: bundle_adjuster.cpp:65-85)."""
@@ -188,32 +185,37 @@ class _ProblemBuilder:
         # generous bucket quanta: padded FLOPs are cheap, compiles are not
         K = _pad(len(self.kf_ids), 16)
         M = _pad(len(self.mp_ids), 256)
-        O = _pad(len(self.obs), 1024)
+        O = _pad(self.n_obs, 1024)
         E = _pad(len(self.pe), 32)
         P = _pad(len(self.priors), 1)
 
+        nk, nm = len(self.kf_ids), len(self.mp_ids)
         poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
         pose_fixed = np.ones(K, bool)
-        for i, T in enumerate(self.poses):
-            poses[i] = T.astype(np.float32)
-            pose_fixed[i] = self.pose_fixed[i]
+        if nk:
+            poses[:nk] = np.asarray(self.poses, np.float32)
+            pose_fixed[:nk] = self.pose_fixed
         points = np.zeros((M, 3), np.float32)
         points_fixed = np.ones(M, bool)
-        for i, X in enumerate(self.points):
-            points[i] = X.astype(np.float32)
-            points_fixed[i] = self.points_fixed[i]
+        if nm:
+            points[:nm] = np.asarray(self.points, np.float32)
+            points_fixed[:nm] = self.points_fixed
 
         obs_kf = np.zeros(O, np.int32)
         obs_mp = np.zeros(O, np.int32)
         obs_meas = np.zeros((O, 2), np.float32)
         obs_si = np.zeros(O, np.float32)
         obs_valid = np.zeros(O, bool)
-        for i, (k, m, mx, my, si) in enumerate(self.obs):
-            obs_kf[i] = k
-            obs_mp[i] = m
-            obs_meas[i] = (mx, my)
-            obs_si[i] = si
-            obs_valid[i] = True
+        n = self.n_obs
+        if n:
+            obs_kf[:n] = np.repeat(
+                np.fromiter((c[0] for c in self.obs_chunks), np.int32,
+                            len(self.obs_chunks)),
+                [len(c[1]) for c in self.obs_chunks])
+            obs_mp[:n] = np.concatenate([c[1] for c in self.obs_chunks])
+            obs_meas[:n] = np.concatenate([c[2] for c in self.obs_chunks])
+            obs_si[:n] = np.concatenate([c[3] for c in self.obs_chunks])
+            obs_valid[:n] = True
 
         pe_a = np.zeros(E, np.int32)
         pe_b = np.zeros(E, np.int32)

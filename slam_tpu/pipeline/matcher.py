@@ -219,6 +219,26 @@ def replace_duplication(kf: Keyframe, mp_ids: Iterable[MpId], margin: float,
     cos_all = (np.sum(mp_to_kf_all * norms_all, axis=1)
                / np.maximum(dist_all, 1e-12))
 
+    # precompute the radius-search + Hamming argmin for every candidate in
+    # ONE native pass: descriptors/positions/viewing cones never change
+    # during the merge loop (replace_with only rewires observation links),
+    # so the per-candidate best match is loop-invariant
+    from slam_tpu import native
+    fs = kf.shared.feature_search
+    pre_best = None
+    if fs is not None:
+        radii = np.array([
+            margin * float(sf[mp.predict_scale_level(float(dist_all[k]), settings)])
+            / base_scale * SQRT_CHI2_INV2D
+            for k, (_, mp) in enumerate(alive)], np.float32)
+        pre = native.radius_hamming_best(
+            fs._xs, fs._ys, fs._order.astype(np.int64),
+            kf.shared.descriptors, kf.shared.octave,
+            pix_all[:, 0], pix_all[:, 1], radii,
+            np.stack([mp.descriptor for _, mp in alive]))
+        if pre is not None:
+            pre_best = pre
+
     for k, (mp_id, mp) in enumerate(alive):
         if mp_id in erased or mp.id not in map_db.map_points:
             continue
@@ -238,19 +258,24 @@ def replace_duplication(kf: Keyframe, mp_ids: Iterable[MpId], margin: float,
             continue
         if cos_all[k] < 0.5:
             continue
-        pix = pix_all[k]
-        pred_level = mp.predict_scale_level(d, settings)
-        r = margin * float(sf[pred_level]) / base_scale * SQRT_CHI2_INV2D
-        idxs = kf.get_features_around(pix, r)
-        if len(idxs) == 0:
-            continue
-        from slam_tpu import native
-        dists = native.hamming_row(mp.descriptor, kf.shared.descriptors[idxs])
-        best = int(np.argmin(dists))
-        best_dist = int(dists[best])
-        best_kp = KpId(int(idxs[best]))
-        if best_dist > HAMMING_DIST_THR_LOW:
-            continue
+        if pre_best is not None:
+            bi, bd = int(pre_best[0][k]), int(pre_best[1][k])
+            if bi < 0 or bd > HAMMING_DIST_THR_LOW:
+                continue
+            best_dist, best_kp = bd, KpId(bi)
+        else:
+            pix = pix_all[k]
+            pred_level = mp.predict_scale_level(d, settings)
+            r = margin * float(sf[pred_level]) / base_scale * SQRT_CHI2_INV2D
+            idxs = kf.get_features_around(pix, r)
+            if len(idxs) == 0:
+                continue
+            dists = native.hamming_row(mp.descriptor, kf.shared.descriptors[idxs])
+            best = int(np.argmin(dists))
+            best_dist = int(dists[best])
+            best_kp = KpId(int(idxs[best]))
+            if best_dist > HAMMING_DIST_THR_LOW:
+                continue
         matched_mp_id = int(kf.map_points[int(best_kp)])
         if matched_mp_id < 0:
             mp.add_observation(kf.id, best_kp)
@@ -280,10 +305,13 @@ def find_matches_transformed_mps(mp_ids_a: np.ndarray,
                                  map_db: MapDB, margin: float,
                                  settings: StaticSettings) -> np.ndarray:
     """One direction of the Sim3-guided matching
-    (reference: keyframe_matcher.cpp:552-631)."""
+    (reference: keyframe_matcher.cpp:552-631), vectorized: one batched
+    reprojection + one fused native radius/Hamming pass over all candidates."""
     sf = settings.scaleFactors
     n = len(mp_ids_a)
     matches = np.full(n, -1, np.int64)
+
+    cand_i, cand_mp = [], []
     for i in range(n):
         if already_matched_in_a[i]:
             continue
@@ -293,32 +321,59 @@ def find_matches_transformed_mps(mp_ids_a: np.ndarray,
         mp = map_db.map_points.get(MpId(mp_id))
         if mp is None or mp.status != MapPointStatus.TRIANGULATED:
             continue
-        pos_w = mp.position
-        pos_b = rot_baw @ pos_w + trans_baw
-        pix, ok = kf_b.shared.camera.ray_to_pixel(pos_b)
-        if not ok or not kf_b.shared.camera.is_valid_pixel(pix):
-            continue
-        viewing_distance = float(np.linalg.norm(pos_b))
-        if (viewing_distance < mp.min_viewing_distance
-                or viewing_distance > mp.max_viewing_distance):
-            continue
-        pred_level = mp.predict_scale_level(viewing_distance, settings)
-        idxs = kf_b.get_features_around(pix, margin * float(sf[pred_level]))
+        cand_i.append(i)
+        cand_mp.append(mp)
+    if not cand_i:
+        return matches
+
+    pos_w = np.stack([mp.position for mp in cand_mp])
+    pos_b = pos_w @ rot_baw.T + trans_baw
+    pix, ok = kf_b.shared.camera.ray_to_pixel(pos_b)
+    ok = ok & kf_b.shared.camera.is_valid_pixel(pix)
+    vdist = np.linalg.norm(pos_b, axis=1)
+    min_d = np.array([mp.min_viewing_distance for mp in cand_mp])
+    max_d = np.array([mp.max_viewing_distance for mp in cand_mp])
+    ok &= (vdist >= min_d) & (vdist <= max_d)
+    if not ok.any():
+        return matches
+    sel = np.flatnonzero(ok)
+    pred = np.array([cand_mp[k].predict_scale_level(float(vdist[k]), settings)
+                     for k in sel], np.int32)
+    radii = margin * np.asarray(sf, np.float64)[pred]
+
+    from slam_tpu import native
+    fs = kf_b.shared.feature_search
+    pre = None
+    if fs is not None:
+        pre = native.radius_hamming_best(
+            fs._xs, fs._ys, fs._order.astype(np.int64),
+            kf_b.shared.descriptors, kf_b.shared.octave,
+            pix[sel, 0], pix[sel, 1], radii,
+            np.stack([cand_mp[k].descriptor for k in sel]),
+            qlvl_min=pred - 1, qlvl_max=pred)
+    if pre is not None:
+        best_j, best_d = pre
+        hit = (best_j >= 0) & (best_d <= HAMMING_DIST_THR_HIGH)
+        for t in np.flatnonzero(hit):
+            matches[cand_i[sel[t]]] = int(best_j[t])
+        return matches
+
+    # NumPy fallback (no native toolchain)
+    for t, k in enumerate(sel):
+        mp = cand_mp[k]
+        idxs = kf_b.get_features_around(pix[k], float(radii[t]))
         if len(idxs) == 0:
             continue
-        from slam_tpu import native
         octv = kf_b.shared.octave[idxs]
-        level_ok = (octv >= pred_level - 1) & (octv <= pred_level)
-        best_dist = MAX_HAMMING_DIST
-        best_j = -1
-        if level_ok.any():
-            cand = idxs[level_ok]
-            dd = native.hamming_row(mp.descriptor, kf_b.shared.descriptors[cand])
-            k = int(np.argmin(dd))
-            best_dist = int(dd[k])
-            best_j = int(cand[k])
-        if best_dist <= HAMMING_DIST_THR_HIGH:
-            matches[i] = best_j
+        level_ok = (octv >= pred[t] - 1) & (octv <= pred[t])
+        if not level_ok.any():
+            continue
+        cand = idxs[level_ok]
+        from slam_tpu.ops.hamming import hamming_matrix_host
+        dd = hamming_matrix_host(mp.descriptor[None], kf_b.shared.descriptors[cand])[0]
+        kk = int(np.argmin(dd))
+        if int(dd[kk]) <= HAMMING_DIST_THR_HIGH:
+            matches[cand_i[k]] = int(cand[kk])
     return matches
 
 

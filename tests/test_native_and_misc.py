@@ -187,3 +187,38 @@ class TestBatchSequences:
             check_consistency(m.map_db)
         # sessions are fully independent maps
         assert mappers[0].map_db is not mappers[1].map_db
+
+
+class TestRadiusHammingBest:
+    def test_matches_pure_python(self):
+        from slam_tpu import native
+        if not native.available():
+            import pytest
+            pytest.skip("no native toolchain")
+        from slam_tpu.map.feature_search import FeatureSearch
+        r = np.random.default_rng(11)
+        n, c = 300, 40
+        pts = r.uniform(0, 400, (n, 2)).astype(np.float32)
+        descs = r.integers(0, 2**32, (n, 8), dtype=np.uint32)
+        octv = r.integers(0, 8, n).astype(np.int32)
+        fs = FeatureSearch(pts)
+        qx = r.uniform(0, 400, c).astype(np.float32)
+        qy = r.uniform(0, 400, c).astype(np.float32)
+        qr = r.uniform(5, 60, c).astype(np.float32)
+        qd = r.integers(0, 2**32, (c, 8), dtype=np.uint32)
+        lmin = r.integers(-1, 4, c).astype(np.int32)
+        lmax = lmin + r.integers(0, 5, c).astype(np.int32)
+        bi, bd = native.radius_hamming_best(
+            fs._xs, fs._ys, fs._order.astype(np.int64), descs, octv,
+            qx, qy, qr, qd, qlvl_min=lmin, qlvl_max=lmax)
+        from slam_tpu.ops.hamming import hamming_matrix_host
+        for q in range(c):
+            idxs = fs.get_features_around(float(qx[q]), float(qy[q]), float(qr[q]))
+            idxs = idxs[(octv[idxs] >= lmin[q]) & (octv[idxs] <= lmax[q])]
+            if len(idxs) == 0:
+                assert bi[q] == -1 and bd[q] == 256, q
+                continue
+            dd = hamming_matrix_host(qd[q][None], descs[idxs])[0]
+            k = int(np.argmin(dd))
+            assert bi[q] == idxs[k], q
+            assert bd[q] == dd[k], q
