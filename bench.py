@@ -65,6 +65,7 @@ def bench_frontend(n_reps=30, width=640, height=480):
 
 def _prewarm_ba_buckets(settings, max_mps=1024, max_obs=4096):
     """Compile the BA solver for each (K, M, O) bucket the benchmark reaches."""
+    import jax
     import jax.numpy as jnp
     from slam_tpu.ops import ba
 
@@ -88,17 +89,22 @@ def _prewarm_ba_buckets(settings, max_mps=1024, max_obs=4096):
             pr_valid=jnp.zeros(1, bool))
 
     iters = int(1 + np.sqrt(16))
-    anchor = jnp.zeros((6, 6), jnp.float32)
     for K in (16,):
         for M in range(256, max_mps + 1, 256):
             for O in range(1024, max_obs + 1, 1024):
                 p = dummy_problem(K, M, O)
-                fixed2 = jnp.zeros(K, bool)
+                E, P = p.pe_a.shape[0], p.pr_idx.shape[0]
                 cg = ba.pick_cg_iters(K, M)
-                ba.solve_ba(p, iterations=10, cg_iters=cg)
-                ba.solve_ba(p, iterations=iters, cg_iters=cg)
-                ba.solve_ba_two_stage(p, fixed2, jnp.asarray(1), anchor,
-                                      iterations=iters, cg_iters=cg)
+                f32, i32, b8 = ba.pack_problem(jax.tree.map(np.asarray, p))
+                ba.solve_ba_packed(f32, i32, b8, K, M, O, E, P,
+                                   iterations=10, cg_iters=cg)
+                ba.solve_ba_packed(f32, i32, b8, K, M, O, E, P,
+                                   iterations=iters, cg_iters=cg)
+                f32x = np.concatenate([f32, np.zeros(36, np.float32)])
+                i32x = np.concatenate([i32, np.zeros(1, np.int32)])
+                b8x = np.concatenate([b8, np.zeros(K, bool)])
+                ba.solve_ba_two_stage_packed(f32x, i32x, b8x, K, M, O, E, P,
+                                             iterations=iters, cg_iters=cg)
 
 
 def bench_pipeline(n_frames=36):

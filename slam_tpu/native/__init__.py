@@ -62,6 +62,8 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.hamming_matrix.argtypes = [u32p, ctypes.c_int64, u32p,
                                        ctypes.c_int64, i32p]
         lib.hamming_row.argtypes = [u32p, u32p, ctypes.c_int64, i32p]
+        lib.hamming_argmin.argtypes = [u32p, ctypes.c_int64, u32p,
+                                       ctypes.c_int64, i32p]
         lib.medoid_descriptor.argtypes = [u32p, ctypes.c_int64]
         lib.medoid_descriptor.restype = ctypes.c_int64
         lib.radius_search.argtypes = [f32p, f32p, ctypes.c_int64,
@@ -120,6 +122,19 @@ def hamming_row(a: np.ndarray, b: np.ndarray) -> np.ndarray:
         return out
     from slam_tpu.ops.hamming import hamming_matrix_host
     return hamming_matrix_host(a[None], b)[0]
+
+
+def hamming_argmin(a: np.ndarray, b: np.ndarray) -> Optional[np.ndarray]:
+    """First-minimum Hamming nearest neighbour of each row of ``a`` in ``b``
+    without materializing the distance matrix. None if native unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    a = np.ascontiguousarray(a, np.uint32)
+    b = np.ascontiguousarray(b, np.uint32)
+    out = np.empty(len(a), np.int32)
+    lib.hamming_argmin(a, len(a), b, len(b), out)
+    return out
 
 
 def medoid_descriptor(descs: np.ndarray) -> int:

@@ -24,8 +24,15 @@ extern "C" {
 // ---------------------------------------------------------------------------
 
 static inline int desc_distance(const uint32_t* a, const uint32_t* b) {
+    // 4x 64-bit popcounts over the 256-bit descriptor (alignment of the
+    // uint32[8] arrays is sufficient for unaligned 64-bit loads on x86)
+    uint64_t wa, wb;
     int d = 0;
-    for (int i = 0; i < 8; ++i) d += __builtin_popcount(a[i] ^ b[i]);
+    for (int i = 0; i < 8; i += 2) {
+        std::memcpy(&wa, a + i, 8);
+        std::memcpy(&wb, b + i, 8);
+        d += __builtin_popcountll(wa ^ wb);
+    }
     return d;
 }
 
@@ -44,6 +51,22 @@ void hamming_matrix(const uint32_t* a, int64_t n, const uint32_t* b, int64_t m,
 // out[m] = hamming(a, b[j]) for a single query descriptor
 void hamming_row(const uint32_t* a, const uint32_t* b, int64_t m, int32_t* out) {
     for (int64_t j = 0; j < m; ++j) out[j] = desc_distance(a, b + 8 * j);
+}
+
+// out[i] = argmin_j hamming(a[i], b[j]) (first minimum), without
+// materializing the n x m distance matrix (BoW quantization hot path).
+void hamming_argmin(const uint32_t* a, int64_t n, const uint32_t* b, int64_t m,
+                    int32_t* out) {
+    for (int64_t i = 0; i < n; ++i) {
+        const uint32_t* ai = a + 8 * i;
+        int best = INT32_MAX;
+        int64_t bj = 0;
+        for (int64_t j = 0; j < m; ++j) {
+            const int d = desc_distance(ai, b + 8 * j);
+            if (d < best) { best = d; bj = j; }
+        }
+        out[i] = (int32_t)bj;
+    }
 }
 
 // ---------------------------------------------------------------------------

@@ -323,6 +323,103 @@ def solve_ba(p: BAProblem, iterations: int, cg_iters: int,
     return _lm_run(p, iterations, cg_iters, huber_delta, init_lambda)
 
 
+# ---------------------------------------------------------------------------
+# Packed entry points: the tunnel charges ~0.4 ms of host time per
+# device_put, so shipping the 18 problem arrays individually costs ~8 ms per
+# solve. Pack them into three flat host buffers (f32 / i32 / bool) and
+# unpack with static-offset slices inside the jitted program (free on
+# device).
+# ---------------------------------------------------------------------------
+
+
+def pack_problem(p: BAProblem):
+    """Flatten a NumPy-arrays BAProblem into (f32, i32, b8) host buffers."""
+    f32 = np.concatenate([
+        np.asarray(p.poses, np.float32).ravel(),
+        np.asarray(p.points, np.float32).ravel(),
+        np.asarray(p.obs_meas, np.float32).ravel(),
+        np.asarray(p.obs_sqrt_info, np.float32).ravel(),
+        np.asarray(p.pe_meas, np.float32).ravel(),
+        np.asarray(p.pe_sqrt_info, np.float32).ravel(),
+        np.asarray(p.pr_meas, np.float32).ravel(),
+        np.asarray(p.pr_sqrt_info, np.float32).ravel()])
+    i32 = np.concatenate([
+        np.asarray(p.obs_kf, np.int32), np.asarray(p.obs_mp, np.int32),
+        np.asarray(p.pe_a, np.int32), np.asarray(p.pe_b, np.int32),
+        np.asarray(p.pr_idx, np.int32)])
+    b8 = np.concatenate([
+        np.asarray(p.pose_fixed, bool), np.asarray(p.points_fixed, bool),
+        np.asarray(p.obs_valid, bool), np.asarray(p.pe_valid, bool),
+        np.asarray(p.pr_valid, bool)])
+    return f32, i32, b8
+
+
+def _unpack_problem(f32, i32, b8, K, M, O, E, P) -> BAProblem:
+    fo = [0]
+    def f(n, shape):
+        v = f32[fo[0]:fo[0] + n].reshape(shape)
+        fo[0] += n
+        return v
+    io = [0]
+    def g(n):
+        v = i32[io[0]:io[0] + n]
+        io[0] += n
+        return v
+    bo = [0]
+    def h(n):
+        v = b8[bo[0]:bo[0] + n]
+        bo[0] += n
+        return v
+    return BAProblem(
+        poses=f(K * 16, (K, 4, 4)), pose_fixed=h(K),
+        points=f(M * 3, (M, 3)), points_fixed=h(M),
+        obs_kf=g(O), obs_mp=g(O),
+        obs_meas=f(O * 2, (O, 2)), obs_sqrt_info=f(O, (O,)),
+        obs_valid=h(O),
+        pe_a=g(E), pe_b=g(E),
+        pe_meas=f(E * 16, (E, 4, 4)), pe_sqrt_info=f(E * 36, (E, 6, 6)),
+        pe_valid=h(E),
+        pr_idx=g(P), pr_meas=f(P * 16, (P, 4, 4)),
+        pr_sqrt_info=f(P * 36, (P, 6, 6)), pr_valid=h(P))
+
+
+@functools.partial(jax.jit, static_argnames=("K", "M", "O", "E", "P",
+                                             "iterations", "cg_iters"))
+def solve_ba_packed(f32, i32, b8, K: int, M: int, O: int, E: int, P: int,
+                    iterations: int, cg_iters: int,
+                    huber_delta: float = float(np.sqrt(CHI2_THRESHOLD)),
+                    init_lambda: float = 1e-4) -> BAResult:
+    p = _unpack_problem(f32, i32, b8, K, M, O, E, P)
+    return _lm_run(p, iterations, cg_iters, huber_delta, init_lambda)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "M", "O", "E", "P",
+                                             "iterations", "cg_iters"))
+def solve_ba_two_stage_packed(
+        f32, i32, b8, K: int, M: int, O: int, E: int, P: int,
+        iterations: int, cg_iters: int,
+        huber_delta: float = float(np.sqrt(CHI2_THRESHOLD)),
+        init_lambda: float = 1e-4) -> BAResult:
+    """Packed two-stage solve. The pack carries three extras appended by the
+    caller: anchor_sqrt_info (36 f32 at the end of f32), anchor_slot (1 i32
+    at the end of i32), stage2_pose_fixed (K bool at the end of b8)."""
+    p = _unpack_problem(f32, i32, b8, K, M, O, E, P)
+    anchor_sqrt_info = f32[-36:].reshape(6, 6)
+    anchor_slot = i32[-1]
+    stage2_fixed = b8[-K:]
+    res1 = _lm_run(p, iterations, cg_iters, huber_delta, init_lambda)
+    anchor_pose = res1.poses[anchor_slot]
+    p2 = p._replace(
+        poses=res1.poses,
+        points=res1.points,
+        pose_fixed=stage2_fixed,
+        pr_idx=anchor_slot[None].astype(jnp.int32),
+        pr_meas=anchor_pose[None],
+        pr_sqrt_info=anchor_sqrt_info[None],
+        pr_valid=jnp.ones((1,), bool))
+    return _lm_run(p2, iterations, cg_iters, huber_delta, init_lambda)
+
+
 @functools.partial(jax.jit, static_argnames=("iterations", "cg_iters"))
 def solve_ba_two_stage(p: BAProblem, stage2_pose_fixed: jnp.ndarray,
                        anchor_slot: jnp.ndarray,

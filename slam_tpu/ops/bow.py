@@ -67,8 +67,11 @@ def quantize(descriptors: np.ndarray, codebook: np.ndarray) -> np.ndarray:
         d[:n] = descriptors
         dist = np.asarray(hamming_matrix(jnp.asarray(d),
                                          jnp.asarray(codebook)))[:n]
-    else:
-        dist = native.hamming_matrix(descriptors, codebook)
+        return np.argmin(dist, axis=1).astype(np.int32)
+    words = native.hamming_argmin(descriptors, codebook)
+    if words is not None:
+        return words
+    dist = native.hamming_matrix(descriptors, codebook)
     return np.argmin(dist, axis=1).astype(np.int32)
 
 

@@ -239,25 +239,31 @@ class _ProblemBuilder:
             pr_si[i] = S.astype(np.float32)
             pr_valid[i] = True
 
+        # NumPy arrays: callers ship them through the PACKED solver entry
+        # points (three device transfers instead of eighteen)
         return ba.BAProblem(
-            poses=jnp.asarray(poses), pose_fixed=jnp.asarray(pose_fixed),
-            points=jnp.asarray(points), points_fixed=jnp.asarray(points_fixed),
-            obs_kf=jnp.asarray(obs_kf), obs_mp=jnp.asarray(obs_mp),
-            obs_meas=jnp.asarray(obs_meas), obs_sqrt_info=jnp.asarray(obs_si),
-            obs_valid=jnp.asarray(obs_valid),
-            pe_a=jnp.asarray(pe_a), pe_b=jnp.asarray(pe_b),
-            pe_meas=jnp.asarray(pe_meas), pe_sqrt_info=jnp.asarray(pe_si),
-            pe_valid=jnp.asarray(pe_valid),
-            pr_idx=jnp.asarray(pr_idx), pr_meas=jnp.asarray(pr_meas),
-            pr_sqrt_info=jnp.asarray(pr_si), pr_valid=jnp.asarray(pr_valid))
+            poses=poses, pose_fixed=pose_fixed,
+            points=points, points_fixed=points_fixed,
+            obs_kf=obs_kf, obs_mp=obs_mp,
+            obs_meas=obs_meas, obs_sqrt_info=obs_si, obs_valid=obs_valid,
+            pe_a=pe_a, pe_b=pe_b, pe_meas=pe_meas, pe_sqrt_info=pe_si,
+            pe_valid=pe_valid,
+            pr_idx=pr_idx, pr_meas=pr_meas, pr_sqrt_info=pr_si,
+            pr_valid=pr_valid)
 
     def solve(self, iterations: int) -> ba.BAResult:
         import jax
         problem = self.build()
         # cg_iters is a static jit argument: derive it from the PADDED shapes
         # so each bucket size maps to exactly one compiled kernel (0 = dense)
-        cg = ba.pick_cg_iters(problem.poses.shape[0], problem.points.shape[0])
-        result = ba.solve_ba(problem, iterations=int(iterations), cg_iters=int(cg))
+        K, M = problem.poses.shape[0], problem.points.shape[0]
+        O, E, P = (problem.obs_kf.shape[0], problem.pe_a.shape[0],
+                   problem.pr_idx.shape[0])
+        cg = ba.pick_cg_iters(K, M)
+        f32, i32, b8 = ba.pack_problem(problem)
+        result = ba.solve_ba_packed(f32, i32, b8, K, M, O, E, P,
+                                    iterations=int(iterations),
+                                    cg_iters=int(cg))
         # ONE device transfer for the whole result: prune/apply consume
         # plain NumPy afterwards (three separate np.asarray() calls would
         # each pay a full dispatch round trip)
@@ -384,16 +390,23 @@ def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
     anchor_info[:3, :3] = np.eye(3) * r * r
     with section("ba_build"):
         problem = builder.build()
-    K = problem.poses.shape[0]
-    stage2_fixed = np.ones(K, bool)
-    stage2_fixed[:len(builder.kf_ids)] = False
-    cg = ba.pick_cg_iters(problem.poses.shape[0], problem.points.shape[0])
+        K, M = problem.poses.shape[0], problem.points.shape[0]
+        O, E, P = (problem.obs_kf.shape[0], problem.pe_a.shape[0],
+                   problem.pr_idx.shape[0])
+        stage2_fixed = np.ones(K, bool)
+        stage2_fixed[:len(builder.kf_ids)] = False
+        f32, i32, b8 = ba.pack_problem(problem)
+        # two-stage extras ride at the ends of the packed buffers
+        f32 = np.concatenate(
+            [f32, _sqrt_info(anchor_info).ravel().astype(np.float32)])
+        i32 = np.concatenate(
+            [i32, np.asarray([builder.kf_slot[keyframe.id]], np.int32)])
+        b8 = np.concatenate([b8, stage2_fixed])
+    cg = ba.pick_cg_iters(K, M)
     import jax
     with section("ba_solve_device"):
-        result = ba.BAResult(*jax.device_get(ba.solve_ba_two_stage(
-            problem, jnp.asarray(stage2_fixed),
-            jnp.asarray(builder.kf_slot[keyframe.id]),
-            jnp.asarray(_sqrt_info(anchor_info), jnp.float32),
+        result = ba.BAResult(*jax.device_get(ba.solve_ba_two_stage_packed(
+            f32, i32, b8, K, M, O, E, P,
             iterations=int(iterations), cg_iters=int(cg))))
 
     with section("ba_apply"):

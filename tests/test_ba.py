@@ -185,3 +185,44 @@ class TestSolveBA:
         res = ba.solve_ba(problem, iterations=10, cg_iters=10)
         R_est = np.asarray(res.poses)[0][:3, :3]
         assert np.abs(R_est - target[:3, :3]).max() < 1e-3
+
+
+class TestPackedSolve:
+    def test_packed_matches_unpacked(self):
+        import jax
+        problem, _, _ = make_problem()
+        K, M = problem.poses.shape[0], problem.points.shape[0]
+        O, E, P = (problem.obs_kf.shape[0], problem.pe_a.shape[0],
+                   problem.pr_idx.shape[0])
+        want = jax.device_get(ba.solve_ba(problem, iterations=4, cg_iters=0))
+        f32, i32, b8 = ba.pack_problem(jax.tree.map(np.asarray, problem))
+        got = jax.device_get(ba.solve_ba_packed(f32, i32, b8, K, M, O, E, P,
+                                                iterations=4, cg_iters=0))
+        np.testing.assert_allclose(np.asarray(got.poses),
+                                   np.asarray(want.poses), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got.points),
+                                   np.asarray(want.points), atol=1e-6)
+
+    def test_two_stage_packed_matches_unpacked(self):
+        import jax
+        import jax.numpy as jnp
+        problem, _, _ = make_problem()
+        K, M = problem.poses.shape[0], problem.points.shape[0]
+        O, E, P = (problem.obs_kf.shape[0], problem.pe_a.shape[0],
+                   problem.pr_idx.shape[0])
+        stage2 = np.zeros(K, bool)
+        anchor = np.zeros((6, 6), np.float32)
+        anchor[:3, :3] = 50.0 * np.eye(3)
+        want = jax.device_get(ba.solve_ba_two_stage(
+            problem, jnp.asarray(stage2), jnp.asarray(1),
+            jnp.asarray(anchor), iterations=3, cg_iters=0))
+        f32, i32, b8 = ba.pack_problem(jax.tree.map(np.asarray, problem))
+        f32 = np.concatenate([f32, anchor.ravel()])
+        i32 = np.concatenate([i32, np.asarray([1], np.int32)])
+        b8 = np.concatenate([b8, stage2])
+        got = jax.device_get(ba.solve_ba_two_stage_packed(
+            f32, i32, b8, K, M, O, E, P, iterations=3, cg_iters=0))
+        np.testing.assert_allclose(np.asarray(got.poses),
+                                   np.asarray(want.poses), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(got.points),
+                                   np.asarray(want.points), atol=1e-6)
