@@ -129,6 +129,18 @@ class MapPoint:
             settings.parameters.slam.orbScaleFactor))
         return min(max(scale, 0), len(settings.scaleFactors) - 1)
 
+    @staticmethod
+    def predict_scale_levels(max_viewing_distances: np.ndarray,
+                             dists: np.ndarray,
+                             settings: StaticSettings) -> np.ndarray:
+        """Vectorized predict_scale_level over many (map point, distance)
+        pairs (same math; used by the batched matchers)."""
+        ratio = np.asarray(max_viewing_distances, np.float64) / np.asarray(
+            dists, np.float64)
+        scale = np.ceil(np.log(ratio) / math.log(
+            settings.parameters.slam.orbScaleFactor))
+        return np.clip(scale, 0, len(settings.scaleFactors) - 1).astype(np.int64)
+
     def copy_for_active(self, active_keyframes: Set[KfId]) -> "MapPoint":
         """Partial copy dropping links to inactive keyframes
         (reference: map_point.cpp:22-43)."""

@@ -148,6 +148,17 @@ def search_by_projection(kf: Keyframe, mp_ids: List[MpId], map_db: MapDB,
     mp_descs = np.stack([mp.descriptor for mp in mps])
     dist_all = _distance_matrix(mp_descs, kf.shared.descriptors)
 
+    # vectorized per-candidate geometry (identical math to the scalar gates)
+    mp_to_kf_all = (cam_center - positions).astype(np.float32)
+    d_all = np.linalg.norm(mp_to_kf_all, axis=1)
+    norms_all = np.stack([mp.norm for mp in mps])
+    cos_all = (np.sum(mp_to_kf_all * norms_all, axis=1)
+               / np.maximum(d_all, 1e-12))
+    max_d_all = np.array([mp.max_viewing_distance for mp in mps])
+    min_d_all = np.array([mp.min_viewing_distance for mp in mps])
+    pred_all = MapPoint.predict_scale_levels(
+        np.maximum(max_d_all, 1e-12), np.maximum(d_all, 1e-12), settings)
+
     # "already owned by a live map point" per keypoint, maintained
     # incrementally as the greedy loop claims keypoints (identical to the
     # reference's at-iteration ownership check, keyframe_matcher.cpp:339-344:
@@ -160,14 +171,13 @@ def search_by_projection(kf: Keyframe, mp_ids: List[MpId], map_db: MapDB,
     for k, mp in enumerate(mps):
         if not visible[k]:
             continue
-        mp_to_kf = (cam_center - mp.position).astype(np.float32)
-        d = float(np.linalg.norm(mp_to_kf))
-        if d < mp.min_viewing_distance or d > mp.max_viewing_distance:
+        d = float(d_all[k])
+        if d < min_d_all[k] or d > max_d_all[k]:
             continue
-        viewing_cos = float(mp_to_kf @ mp.norm) / max(d, 1e-12)
+        viewing_cos = float(cos_all[k])
         if viewing_cos < view_angle_limit_cos:
             continue
-        pred_level = mp.predict_scale_level(d, settings)
+        pred_level = int(pred_all[k])
         # small-view-angle radius shrink (keyframe_matcher.cpp:335-338)
         r = 2.5 / 4.0 if viewing_cos > 0.998 else 1.0
         radius = r * threshold * float(sf[pred_level]) / ref_scale
@@ -227,10 +237,11 @@ def replace_duplication(kf: Keyframe, mp_ids: Iterable[MpId], margin: float,
     fs = kf.shared.feature_search
     pre_best = None
     if fs is not None:
-        radii = np.array([
-            margin * float(sf[mp.predict_scale_level(float(dist_all[k]), settings)])
-            / base_scale * SQRT_CHI2_INV2D
-            for k, (_, mp) in enumerate(alive)], np.float32)
+        pred_all = MapPoint.predict_scale_levels(
+            np.array([mp.max_viewing_distance for _, mp in alive]),
+            dist_all, settings)
+        radii = (margin * np.asarray(sf, np.float64)[pred_all]
+                 / base_scale * SQRT_CHI2_INV2D).astype(np.float32)
         pre = native.radius_hamming_best(
             fs._xs, fs._ys, fs._order.astype(np.int64),
             kf.shared.descriptors, kf.shared.octave,
@@ -337,8 +348,8 @@ def find_matches_transformed_mps(mp_ids_a: np.ndarray,
     if not ok.any():
         return matches
     sel = np.flatnonzero(ok)
-    pred = np.array([cand_mp[k].predict_scale_level(float(vdist[k]), settings)
-                     for k in sel], np.int32)
+    pred = MapPoint.predict_scale_levels(max_d[sel], vdist[sel],
+                                         settings).astype(np.int32)
     radii = margin * np.asarray(sf, np.float64)[pred]
 
     from slam_tpu import native
