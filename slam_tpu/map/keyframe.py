@@ -142,6 +142,9 @@ class Keyframe:
         self.shared.octave = res.octave[c]
         self.shared.angle = res.angle[c]
         self.shared.descriptors = res.descriptors[c]
+        if res.words is not None:
+            # BoW words quantized on-device inside the fused front-end
+            self.shared.words = res.words[c]
         tids = res.track_ids[c]
         for i, tid in enumerate(tids):
             if tid >= 0:

@@ -75,6 +75,11 @@ class MapPoint:
                 descs.append(kf.shared.descriptors[int(self.observations[kf_id])])
         if not descs:
             return
+        # for n <= 2 the medoid is always the first descriptor (every row's
+        # median is the self-distance 0; strict < keeps the first index)
+        if len(descs) <= 2:
+            self.descriptor = np.asarray(descs[0]).copy()
+            return
         from slam_tpu import native
         d = np.stack(descs)
         # reference keeps the first index achieving the best median (strict <)

@@ -95,8 +95,14 @@ class BowIndex:
     @timed
     def transform(self, shared) -> None:
         """Fill words/groups/signature of a KeyframeShared
-        (equivalent of BowIndex::transform, bow_index.cpp:59-93)."""
-        words = quantize(shared.descriptors, self.codebook)
+        (equivalent of BowIndex::transform, bow_index.cpp:59-93). Reuses
+        words already quantized on-device by the fused front-end (identical
+        integer distances + first-min tie-breaking) when present."""
+        n = len(shared.descriptors)
+        if (shared.words is not None and len(shared.words) == n and n > 0):
+            words = np.asarray(shared.words, np.int32)
+        else:
+            words = quantize(shared.descriptors, self.codebook)
         shared.words = words
         shared.groups = (words // self._group_div).astype(np.int32)
         sig = np.bincount(words, minlength=self.num_words).astype(np.float32)

@@ -44,13 +44,15 @@ class FrontendResult:
     descriptors: np.ndarray  # (N, 8) uint32
     valid: np.ndarray      # (N,) bool
     track_ids: np.ndarray  # (N,) int32, -1 for detected (non-tracked) slots
+    words: Optional[np.ndarray] = None  # (N,) int32 BoW word ids (on-device)
 
     def compact(self) -> "FrontendResult":
         """Drop invalid slots."""
         v = self.valid
         return FrontendResult(self.pts[v], self.octave[v], self.angle[v],
                               self.descriptors[v], np.ones(int(v.sum()), bool),
-                              self.track_ids[v])
+                              self.track_ids[v],
+                              None if self.words is None else self.words[v])
 
 
 def _min_distances(settings: StaticSettings, sizes) -> List[int]:
@@ -64,7 +66,8 @@ def _min_distances(settings: StaticSettings, sizes) -> List[int]:
 
 @functools.partial(jax.jit, static_argnames=("spec",))
 def _extract_impl(image, tracked_xy, tracked_valid, spec):
-    (scale_factors, budgets, min_dists, lk_level, use_fast, width, height) = spec
+    (scale_factors, budgets, min_dists, lk_level, use_fast, width, height,
+     vocab_size) = spec
     sizes, resize_ops, blur_ops = _pyramid_operators(width, height, scale_factors)
     levels, blurred = _build_pyramid_impl(image.astype(jnp.float32), resize_ops, blur_ops)
 
@@ -107,9 +110,25 @@ def _extract_impl(image, tracked_xy, tracked_valid, spec):
         out_desc.append(desc)
         out_valid.append(valid)
 
+    desc_all = jnp.concatenate(out_desc)
+    # --- BoW quantization fused in: the descriptors are already on device,
+    # and nearest-codeword search is one popcount-GEMM on the MXU + argmin
+    # (identical words to ops/bow.quantize: exact integer distances,
+    # first-minimum tie-breaking). Saves the ~4 ms host scan per keyframe.
+    if vocab_size > 0:
+        from slam_tpu.ops.bow import make_codebook
+        from slam_tpu.ops.hamming import unpack_bits_pm1
+        cb = unpack_bits_pm1(jnp.asarray(make_codebook(vocab_size)))
+        a = unpack_bits_pm1(desc_all)
+        dot = jax.lax.dot_general(a, cb, (((1,), (1,)), ((), ())),
+                                  preferred_element_type=jnp.int32)
+        words = jnp.argmin((256 - dot) // 2, axis=1).astype(jnp.int32)
+    else:
+        words = jnp.zeros(desc_all.shape[:1], jnp.int32)
+
     return (jnp.concatenate(out_pts), jnp.concatenate(out_oct),
-            jnp.concatenate(out_ang), jnp.concatenate(out_desc),
-            jnp.concatenate(out_valid))
+            jnp.concatenate(out_ang), desc_all,
+            jnp.concatenate(out_valid), words)
 
 
 class OrbExtractor:
@@ -129,7 +148,8 @@ class OrbExtractor:
         min_dists = tuple(_min_distances(settings, sizes))
         use_fast = p.slamFeatureDetector.lower() == "fast"
         self._spec = (scale_factors, budgets, min_dists, int(p.orbLkTrackLevel),
-                      bool(use_fast), width, height)
+                      bool(use_fast), width, height,
+                      int(getattr(p, "bowVocabularySize", 0)))
         self.num_slots = max_tracked + sum(budgets)
         self._pending = {}
 
@@ -185,6 +205,7 @@ class OrbExtractor:
             txy, tvalid, tids = self._pack_tracked(tracked_xy, track_ids)
             out = _extract_impl(jnp.asarray(image), jnp.asarray(txy),
                                 jnp.asarray(tvalid), self._spec)
-        pts, octv, ang, desc, valid = jax.device_get(out)
+        pts, octv, ang, desc, valid, words = jax.device_get(out)
         return FrontendResult(np.asarray(pts), np.asarray(octv), np.asarray(ang),
-                              np.asarray(desc), np.asarray(valid), tids)
+                              np.asarray(desc), np.asarray(valid), tids,
+                              np.asarray(words))

@@ -190,3 +190,24 @@ class TestOrbExtractorEndToEnd:
         r2 = ex.detect_and_extract(img).compact()
         assert np.array_equal(r1.descriptors, r2.descriptors)
         assert np.array_equal(r1.pts, r2.pts)
+
+
+class TestDeviceBowWords:
+    def test_fused_words_match_host_quantize(self):
+        """The front-end's on-device BoW quantization must produce the same
+        word ids as ops/bow.quantize (exact distances, first-min ties)."""
+        import jax
+        from slam_tpu.ops.frontend import OrbExtractor
+        from slam_tpu.ops import bow
+        from slam_tpu.params import StaticSettings
+
+        settings = StaticSettings()
+        ex = OrbExtractor(settings, 320, 240, max_tracked=16)
+        rng = np.random.default_rng(5)
+        img = rng.integers(0, 256, (240, 320)).astype(np.uint8)
+        res = ex.detect_and_extract(img).compact()
+        assert res.words is not None and len(res.words) > 50
+        codebook = bow.make_codebook(
+            settings.parameters.slam.bowVocabularySize)
+        want = bow.quantize(res.descriptors, codebook)
+        assert np.array_equal(res.words, want)
