@@ -119,6 +119,9 @@ def bench_pipeline(n_frames=36):
         localBAProblemSize=16,
         adjacentSpaceSize=10,
         maxKeypoints=600,
+        # TPU-native pipelined mode: each local-BA round trip overlaps the
+        # next frame's host matching work (see params.py / ARCHITECTURE §4)
+        pipelinedLocalBA=True,
         useFrontendSlam=False))
     mapper = Mapper(params)
 

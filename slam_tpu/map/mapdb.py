@@ -180,6 +180,18 @@ class MapDB:
         self._prev_pose_to_prev_keyframe_delta = (
             self._prev_pose @ np.linalg.inv(prev_kf.pose_cw))
 
+    def refresh_prev_pose(self) -> None:
+        """Re-sync the prev-pose snapshot with the live keyframe pose.
+
+        Used by the pipelined (deferred-apply) local BA: ``update_prev_pose``
+        snapshots ``pose_cw`` at frame end, but a deferred BA applies its
+        refinement afterwards; this re-reads the pose so the next frame's
+        delta-chained seed (``insert_new_keyframe_candidate``) matches the
+        synchronous pipeline."""
+        kf = self.keyframes.get(self._prev_pose_kf_id)
+        if kf is not None:
+            self._prev_pose = kf.pose_cw.copy()
+
     # ------------------------------------------------------------------
 
     def remove_map_point(self, map_point: MapPoint) -> None:

@@ -65,6 +65,14 @@ class ParametersSlam:
     # --- bundle adjustment --------------------------------------------------
     nonKeyFramePoseAdjustment: bool = True
     applyLocalBundleAdjustment: bool = True
+    # TPU-native extension (no reference equivalent): dispatch each local-BA
+    # solve asynchronously and apply it (plus the post-BA pipeline tail) at a
+    # fixed point early in the NEXT keyframe, hiding the device round trip
+    # behind that frame's host matching work. Deterministic; matching runs on
+    # map state that lags exactly one BA application — the same stale-snapshot
+    # trade the reference makes for its frontend (mapper.cpp:281-343). See
+    # docs/ARCHITECTURE.md §4.
+    pipelinedLocalBA: bool = False
     localBAProblemSize: int = 20
     loopClosureLocalBAProblemSize: int = 50
     minVisibleMapPointsInCurrentFrameBA: int = 10

@@ -35,11 +35,25 @@ CHI2_THRESHOLD = ba.CHI2_THRESHOLD
 
 
 @dataclasses.dataclass
+class PendingLocalBA:
+    """An in-flight deferred local-BA solve (``pipelinedLocalBA`` mode).
+
+    Holds the un-fetched device result plus everything the apply + pipeline
+    tail needs when it is collected at the next finalize point."""
+    device_result: object          # jax BAResult, still on device
+    builder: "_ProblemBuilder"
+    kf_id: KfId
+    adjacent_kf_ids: List[KfId]
+    kind: Ba                       # Ba.LOCAL (prune+apply all) or Ba.NEIGHBOR
+
+
+@dataclasses.dataclass
 class WorkspaceBA:
     """reference: bundle_adjuster.hpp:16-25"""
     local_kf_ids: Set[KfId] = dataclasses.field(default_factory=set)
     local_mp_ids: Set[MpId] = dataclasses.field(default_factory=set)
     ba_stats: BaStats = dataclasses.field(default_factory=BaStats)
+    pending: Optional[PendingLocalBA] = None
 
 
 def odometry_prior_strengths(kf_id1: KfId, kf_id2: KfId,
@@ -90,6 +104,16 @@ def _sqrt_info(info: np.ndarray) -> np.ndarray:
 
 def _pad(n: int, quantum: int) -> int:
     return max(quantum, ((n + quantum - 1) // quantum) * quantum)
+
+
+def _start_host_copy(tree) -> None:
+    """Kick off async device->host copies so a later device_get is ~free."""
+    import jax
+    for leaf in jax.tree_util.tree_leaves(tree):
+        try:
+            leaf.copy_to_host_async()
+        except Exception:
+            break
 
 
 class _ProblemBuilder:
@@ -251,8 +275,9 @@ class _ProblemBuilder:
             pr_idx=pr_idx, pr_meas=pr_meas, pr_sqrt_info=pr_si,
             pr_valid=pr_valid)
 
-    def solve(self, iterations: int) -> ba.BAResult:
-        import jax
+    def solve_async(self, iterations: int) -> ba.BAResult:
+        """Dispatch the solve; returns the still-on-device BAResult with the
+        device->host copy already started (XLA dispatch is asynchronous)."""
         problem = self.build()
         # cg_iters is a static jit argument: derive it from the PADDED shapes
         # so each bucket size maps to exactly one compiled kernel (0 = dense)
@@ -264,23 +289,35 @@ class _ProblemBuilder:
         result = ba.solve_ba_packed(f32, i32, b8, K, M, O, E, P,
                                     iterations=int(iterations),
                                     cg_iters=int(cg))
+        _start_host_copy(result)
+        return result
+
+    def solve(self, iterations: int) -> ba.BAResult:
+        import jax
         # ONE device transfer for the whole result: prune/apply consume
         # plain NumPy afterwards (three separate np.asarray() calls would
         # each pay a full dispatch round trip)
-        return ba.BAResult(*jax.device_get(result))
+        return ba.BAResult(*jax.device_get(self.solve_async(iterations)))
 
     def apply_poses(self, result: ba.BAResult, map_db: MapDB,
                     only: Optional[Set[KfId]] = None) -> None:
+        # .get(): with deferred apply (pipelinedLocalBA) a keyframe in the
+        # problem may have been removed (pose-trail drop / non-KF removal)
+        # between dispatch and collect
         poses = np.asarray(result.poses, np.float64)
         for i, kf_id in enumerate(self.kf_ids):
             if only is not None and kf_id not in only:
                 continue
-            map_db.keyframes[kf_id].pose_cw = _orthonormalize(poses[i])
+            kf = map_db.keyframes.get(kf_id)
+            if kf is not None:
+                kf.pose_cw = _orthonormalize(poses[i])
 
     def apply_points(self, result: ba.BAResult, map_db: MapDB) -> None:
         points = np.asarray(result.points, np.float64)
         for i, mp_id in enumerate(self.mp_ids):
-            map_db.map_points[mp_id].position = points[i].copy()
+            mp = map_db.map_points.get(mp_id)
+            if mp is not None:
+                mp.position = points[i].copy()
 
     def prune_outliers(self, result: ba.BAResult, map_db: MapDB) -> None:
         """chi2 > 5.991 observation pruning (reference:
@@ -289,10 +326,11 @@ class _ProblemBuilder:
         for i in np.flatnonzero(chi2[:len(self.obs_tag)] > CHI2_THRESHOLD):
             kf_id, mp_id = self.obs_tag[i]
             mp = map_db.map_points.get(mp_id)
-            if mp is None or kf_id not in mp.observations:
+            kf = map_db.keyframes.get(kf_id)
+            if mp is None or kf is None or kf_id not in mp.observations:
                 continue
             mp.erase_observation(kf_id)
-            map_db.keyframes[kf_id].erase_observation(mp_id)
+            kf.erase_observation(mp_id)
             if len(mp.observations) <= 2:
                 mp.status = MapPointStatus.UNSURE
 
@@ -300,11 +338,48 @@ class _ProblemBuilder:
 # ---------------------------------------------------------------------------
 
 
+def collect_pending_ba(workspace: WorkspaceBA, map_db: MapDB
+                       ) -> Optional[PendingLocalBA]:
+    """Collect + apply a deferred local-BA solve (``pipelinedLocalBA``).
+
+    Returns the pending record (so the caller can run the post-BA pipeline
+    tail for that keyframe) or None if nothing was in flight."""
+    pending = workspace.pending
+    if pending is None:
+        return None
+    workspace.pending = None
+    import jax
+    with section("ba_collect_deferred"):
+        result = ba.BAResult(*jax.device_get(pending.device_result))
+    with section("ba_apply"):
+        b = pending.builder
+        if pending.kind == Ba.NEIGHBOR:
+            b.apply_poses(result, map_db, only={pending.kf_id})
+            b.apply_points(result, map_db)
+        else:
+            b.prune_outliers(result, map_db)
+            b.apply_poses(result, map_db)
+            b.apply_points(result, map_db)
+        # the prev-pose chain snapshot was taken pre-apply; re-sync it so the
+        # next keyframe's seeded pose matches the synchronous pipeline
+        map_db.refresh_prev_pose()
+    return pending
+
+
 @timed
 def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
                         map_db: MapDB, problem_max_size: int,
-                        settings: StaticSettings) -> Set[MpId]:
-    """reference: bundle_adjuster.cpp:141-394"""
+                        settings: StaticSettings,
+                        defer: bool = False,
+                        adjacent_kf_ids: Optional[List[KfId]] = None
+                        ) -> bool:
+    """reference: bundle_adjuster.cpp:141-394.
+
+    With ``defer=True`` (pipelinedLocalBA) the solve is dispatched
+    asynchronously and stashed in ``workspace.pending``; returns True in that
+    case (the caller must skip the post-BA tail and finalize later via
+    ``collect_pending_ba``). Returns False when applied synchronously."""
+    assert workspace.pending is None, "previous deferred BA was never collected"
     parameters = settings.parameters.slam
     iterations = int(1 + math.sqrt(problem_max_size))
 
@@ -345,7 +420,7 @@ def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
     if (not local_keyframes
             or n_current_frame_mps < parameters.minVisibleMapPointsInCurrentFrameBA
             or len(local_keyframes) < parameters.minKeyframesInBA):
-        return set(local_map_points)
+        return False
 
     builder = _ProblemBuilder(settings)
     for kf_id in sorted(local_keyframes):
@@ -376,11 +451,17 @@ def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
 
     if n_current_frame_mps < parameters.minVisibleMapPointsInNeighborhoodBA:
         # stage 1 only: refine the current keyframe, then stop ("NEIGHBOR" BA)
+        workspace.ba_stats.update(Ba.NEIGHBOR)
+        if defer:
+            device_result = builder.solve_async(iterations)
+            workspace.pending = PendingLocalBA(
+                device_result, builder, keyframe.id,
+                list(adjacent_kf_ids or []), Ba.NEIGHBOR)
+            return True
         result = builder.solve(iterations)
         builder.apply_poses(result, map_db, only={keyframe.id})
         builder.apply_points(result, map_db)
-        workspace.ba_stats.update(Ba.NEIGHBOR)
-        return set(local_map_points)
+        return False
 
     # both stages fused into one device call: stage 1 refines the current
     # keyframe with everything else fixed; stage 2 unfixes all poses and
@@ -404,6 +485,16 @@ def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
         b8 = np.concatenate([b8, stage2_fixed])
     cg = ba.pick_cg_iters(K, M)
     import jax
+    workspace.ba_stats.update(Ba.LOCAL)
+    if defer:
+        with section("ba_dispatch_deferred"):
+            device_result = ba.solve_ba_two_stage_packed(
+                f32, i32, b8, K, M, O, E, P,
+                iterations=int(iterations), cg_iters=int(cg))
+            _start_host_copy(device_result)
+        workspace.pending = PendingLocalBA(device_result, builder, keyframe.id,
+                                           list(adjacent_kf_ids or []), Ba.LOCAL)
+        return True
     with section("ba_solve_device"):
         result = ba.BAResult(*jax.device_get(ba.solve_ba_two_stage_packed(
             f32, i32, b8, K, M, O, E, P,
@@ -413,8 +504,7 @@ def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
         builder.prune_outliers(result, map_db)
         builder.apply_poses(result, map_db)
         builder.apply_points(result, map_db)
-    workspace.ba_stats.update(Ba.LOCAL)
-    return set(local_map_points)
+    return False
 
 
 @timed

@@ -37,6 +37,7 @@ from slam_tpu.pipeline.loop_closer import LoopCloser
 from slam_tpu.pipeline.mapper_helpers import (add_keyframe_backend,
                                               add_keyframe_frontend,
                                               check_consistency,
+                                              finalize_pending_ba,
                                               make_keyframe_decision)
 from slam_tpu.utils.stats import BaStats
 from slam_tpu.utils.timer import TIME_STATS
@@ -212,6 +213,10 @@ class Mapper:
     def _copy_map(self) -> None:
         """reference: mapper.cpp:281-326"""
         p = self.settings.parameters.slam
+        # a deferred BA must land before the snapshot is taken
+        finalize_pending_ba(self.map_db, self.settings, self.workspace_ba,
+                            self.loop_closer, self.bow_index,
+                            self.viewer_publisher)
         partial = p.copyPartialMapToFrontend
         latest = self.map_db.latest_keyframe()
         if latest is None and partial:
@@ -321,6 +326,9 @@ class Mapper:
     def end(self, map_pose_save_path: str = "") -> bool:
         """Shutdown: drain, audit, persist (reference: mapper.cpp:498-554)."""
         self._stop_and_join()
+        finalize_pending_ba(self.map_db, self.settings, self.workspace_ba,
+                            self.loop_closer, self.bow_index,
+                            self.viewer_publisher)
         check_consistency(self.map_db)
         p = self.settings.parameters.slam
         if p.mapdbSavePath:

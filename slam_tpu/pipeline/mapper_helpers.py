@@ -27,6 +27,7 @@ from slam_tpu.params import StaticSettings
 from slam_tpu.pipeline import matcher
 from slam_tpu.pipeline.adjacency import compute_adjacent_keyframes
 from slam_tpu.pipeline.bundle_adjustment import (WorkspaceBA,
+                                                collect_pending_ba,
                                                 global_bundle_adjust,
                                                 local_bundle_adjust,
                                                 pose_bundle_adjust)
@@ -782,6 +783,11 @@ def add_keyframe_common_inner(map_db: MapDB, current_keyframe: Keyframe,
     if kf_decision and is_backend:
         match_local_map_points(current_keyframe, adjacent_kf_ids, map_db, settings)
     else:
+        if is_backend:
+            # a deferred BA must land before the pose-only solve reads the
+            # previous keyframe's pose
+            finalize_pending_ba(map_db, settings, workspace_ba, loop_closer,
+                                bow_index, viewer_publisher)
         if ps.nonKeyFramePoseAdjustment:
             if pose_bundle_adjust(current_keyframe, map_db, settings):
                 if is_backend:
@@ -810,9 +816,34 @@ def add_keyframe_common_inner(map_db: MapDB, current_keyframe: Keyframe,
         else:
             mp.status = MapPointStatus.UNSURE
 
+    # pipelinedLocalBA: the previous keyframe's deferred solve has been
+    # overlapping all the host matching above; collect it and run its
+    # pipeline tail now, just before this frame's problem is built
+    finalize_pending_ba(map_db, settings, workspace_ba, loop_closer,
+                        bow_index, viewer_publisher)
+
     if ps.applyLocalBundleAdjustment:
-        local_bundle_adjust(current_keyframe, workspace_ba, map_db,
-                            ps.localBAProblemSize, settings)
+        deferred = local_bundle_adjust(current_keyframe, workspace_ba, map_db,
+                                       ps.localBAProblemSize, settings,
+                                       defer=ps.pipelinedLocalBA,
+                                       adjacent_kf_ids=adjacent_kf_ids)
+        if deferred:
+            # apply + tail (retriangulation, culling, BoW add, loop closure)
+            # run at the next finalize point while the solve is in flight
+            return
+    _post_ba_tail(map_db, current_keyframe, adjacent_kf_ids, settings,
+                  workspace_ba, loop_closer, bow_index, viewer_publisher,
+                  did_ba=ps.applyLocalBundleAdjustment)
+
+
+def _post_ba_tail(map_db: MapDB, current_keyframe: Keyframe,
+                  adjacent_kf_ids: List[KfId], settings: StaticSettings,
+                  workspace_ba, loop_closer, bow_index, viewer_publisher,
+                  did_ba: bool) -> None:
+    """The pipeline tail after local BA (mapper_helpers.cpp:1084-1130):
+    retriangulation, culling, BoW registration, loop closure, recording."""
+    ps = settings.parameters.slam
+    if did_ba:
         # retriangulate current-KF points not locked in by BA
         # (mapper_helpers.cpp:1084-1092)
         retri = []
@@ -842,6 +873,21 @@ def add_keyframe_common_inner(map_db: MapDB, current_keyframe: Keyframe,
                                      map_db.map_point_records, map_db.map_points)
     if viewer_publisher is not None:
         viewer_publisher.publish_map(map_db, workspace_ba, settings.parameters.slam)
+
+
+def finalize_pending_ba(map_db: MapDB, settings: StaticSettings, workspace_ba,
+                        loop_closer, bow_index, viewer_publisher=None) -> None:
+    """Collect an in-flight deferred local BA (pipelinedLocalBA) and run the
+    post-BA pipeline tail for its keyframe. No-op when nothing is pending."""
+    if workspace_ba is None or workspace_ba.pending is None:
+        return
+    pending = collect_pending_ba(workspace_ba, map_db)
+    kf = map_db.keyframes.get(pending.kf_id)
+    if kf is None:
+        return  # keyframe was removed (pose-trail drop) while in flight
+    adjacent = [k for k in pending.adjacent_kf_ids if k in map_db.keyframes]
+    _post_ba_tail(map_db, kf, adjacent, settings, workspace_ba, loop_closer,
+                  bow_index, viewer_publisher, did_ba=True)
 
 
 def add_keyframe_common_outer(map_db: MapDB, keyframe: Keyframe,
