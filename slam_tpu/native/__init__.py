@@ -87,6 +87,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
             f32p, f32p, i64p, ctypes.c_int64, u32p, i32p,
             f32p, f32p, f32p, u32p, i32p, i32p, ctypes.c_int64,
             i64p, i32p]
+        lib.project_greedy_claim.argtypes = [
+            f32p, f32p, i64p, ctypes.c_int64, u32p, i32p, u8p,
+            f32p, f32p, f32p, u32p, ctypes.c_int64,
+            ctypes.c_int32, ctypes.c_double, i64p]
         _lib = lib
         return _lib
 
@@ -254,6 +258,34 @@ def radius_hamming_best(xs_sorted, ys_sorted, order, descs, octaves,
                             qx, qy, qr, qdesc, qlvl_min, qlvl_max, c,
                             best_idx, best_dist)
     return best_idx, best_dist
+
+
+def project_greedy_claim(xs_sorted, ys_sorted, order, descs, octaves, owned,
+                         qx, qy, qr, qdesc, thr_high: int, lowe: float):
+    """Fused searchByProjection inner loop: for each query circle, greedily
+    claim the best unowned keypoint (original-index scan order, best<=thr_high,
+    same-octave Lowe rejection); ``owned`` (uint8) is updated in place.
+    Returns matched int64 (C,) with -1 for no claim, or None when the native
+    library is unavailable (caller falls back to the Python loop)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    xs = np.ascontiguousarray(xs_sorted, np.float32)
+    ys = np.ascontiguousarray(ys_sorted, np.float32)
+    order = np.ascontiguousarray(order, np.int64)
+    descs = np.ascontiguousarray(descs, np.uint32)
+    octaves = np.ascontiguousarray(octaves, np.int32)
+    assert owned.dtype == np.uint8 and owned.flags.c_contiguous
+    qx = np.ascontiguousarray(qx, np.float32)
+    qy = np.ascontiguousarray(qy, np.float32)
+    qr = np.ascontiguousarray(qr, np.float32)
+    qdesc = np.ascontiguousarray(qdesc, np.uint32)
+    c = len(qx)
+    matched = np.empty(c, np.int64)
+    lib.project_greedy_claim(xs, ys, order, len(ys), descs, octaves, owned,
+                             qx, qy, qr, qdesc, c,
+                             np.int32(thr_high), float(lowe), matched)
+    return matched
 
 
 def create_random_array(n: int, lo: int, hi: int,

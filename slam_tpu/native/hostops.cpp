@@ -308,6 +308,64 @@ void radius_hamming_best(
 }
 
 // ---------------------------------------------------------------------------
+// Fused projection-matcher greedy claim (reference:
+// keyframe_matcher.cpp:295-414 searchByProjection inner loop). For each query
+// (a local map point already past the frustum/distance/viewing-cone gates, in
+// input order): keypoints strictly inside the circle that are not yet owned,
+// scanned in ORIGINAL INDEX order (matching the Python twin's np.where scan),
+// best + second-best Hamming with their octaves, then the reference's accept
+// rule (best <= thr_high; reject when best/second share an octave and
+// best > lowe * second). Accepted queries claim the keypoint: ownership is
+// updated sequentially, exactly like the reference's greedy loop.
+// ---------------------------------------------------------------------------
+
+void project_greedy_claim(
+    const float* xs, const float* ys, const int64_t* order, int64_t n,
+    const uint32_t* descs, const int32_t* octaves, uint8_t* owned,
+    const float* qx, const float* qy, const float* qr,
+    const uint32_t* qdesc, int64_t c,
+    int32_t thr_high, double lowe, int64_t* matched) {
+    std::vector<int64_t> hits;
+    for (int64_t q = 0; q < c; ++q) {
+        matched[q] = -1;
+        const float r = qr[q], x = qx[q], y = qy[q];
+        const float r2 = r * r;
+        const float* lo = std::lower_bound(ys, ys + n, y - r);
+        hits.clear();
+        for (int64_t i = lo - ys; i < n && ys[i] <= y + r; ++i) {
+            const float dx = x - xs[i], dy = y - ys[i];
+            if (dx * dx + dy * dy < r2) {
+                const int64_t oi = order[i];
+                if (!owned[oi]) hits.push_back(oi);
+            }
+        }
+        if (hits.empty()) continue;
+        std::sort(hits.begin(), hits.end());  // original-index scan order
+        const uint32_t* qd = qdesc + 8 * q;
+        int32_t best_d = 256, second_d = 256, best_l = -1, second_l = -1;
+        int64_t best = -1;
+        for (const int64_t j : hits) {
+            const int d = desc_distance(qd, descs + 8 * j);
+            if (d < best_d) {
+                second_d = best_d;
+                second_l = best_l;
+                best_d = d;
+                best_l = octaves[j];
+                best = j;
+            } else if (d < second_d) {
+                second_d = d;
+                second_l = octaves[j];
+            }
+        }
+        if (best < 0 || best_d > thr_high) continue;
+        if (best_l == second_l && (double)best_d > lowe * (double)second_d)
+            continue;
+        matched[q] = best;
+        owned[best] = 1;
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Deterministic unique random index arrays (reference: random_array.cc:21-62)
 // Thread-local MT19937 with the reference's fixed seed.
 // ---------------------------------------------------------------------------

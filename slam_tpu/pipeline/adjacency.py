@@ -15,8 +15,10 @@ from slam_tpu.ids import KfId
 from slam_tpu.map.keyframe import Keyframe
 from slam_tpu.map.mapdb import MapDB
 from slam_tpu.params import StaticSettings
+from slam_tpu.utils.timer import timed
 
 
+@timed
 def compute_adjacent_keyframes(current_keyframe: Keyframe,
                                min_covisibilities: int,
                                max_keyframes: int,

@@ -32,7 +32,7 @@ from slam_tpu.pipeline.bundle_adjustment import (WorkspaceBA,
                                                 local_bundle_adjust,
                                                 pose_bundle_adjust)
 from slam_tpu.utils.stats import Ba
-from slam_tpu.utils.timer import timed
+from slam_tpu.utils.timer import section, timed
 
 CHI2_INV2D = 5.991  # reference: mapper_helpers.cpp:26
 
@@ -121,14 +121,21 @@ def match_local_map_points(current_keyframe: Keyframe,
             candidates.append(mp)
     if not candidates:
         return
-    # batched isInFrustum (keyframe.cpp:247-262 semantics)
-    positions = np.stack([mp.position for mp in candidates])
+    # batched isInFrustum (keyframe.cpp:247-262 semantics); one fill pass
+    # over the candidate objects instead of four attribute comprehensions
+    n = len(candidates)
+    positions = np.empty((n, 3))
+    norms = np.empty((n, 3), np.float32)
+    min_d = np.empty(n)
+    max_d = np.empty(n)
+    for i, mp in enumerate(candidates):
+        positions[i] = mp.position
+        norms[i] = mp.norm
+        min_d[i] = mp.min_viewing_distance
+        max_d[i] = mp.max_viewing_distance
     _, visible = current_keyframe.reproject_many(positions)
     mp_to_kf = (current_keyframe.camera_center() - positions).astype(np.float32)
     dist = np.linalg.norm(mp_to_kf, axis=1)
-    norms = np.stack([mp.norm for mp in candidates])
-    min_d = np.array([mp.min_viewing_distance for mp in candidates])
-    max_d = np.array([mp.max_viewing_distance for mp in candidates])
     viewing_cos = np.sum(mp_to_kf * norms, axis=1) / np.maximum(dist, 1e-12)
     ok = visible & (dist >= min_d) & (dist <= max_d) & (viewing_cos >= 0.5)
     local_mps = [mp.id for mp, o in zip(candidates, ok) if o]
@@ -233,6 +240,11 @@ def create_new_map_points(current_keyframe: Keyframe,
             continue
         positions, ok = _batch_triangulate_pairs(current_keyframe, keyframe,
                                                  matches, settings)
+        # update_descriptor on a fresh 2-observation point always resolves to
+        # the first full-featured observation's descriptor (obs sorted by
+        # KfId: the adjacent keyframe is older); inline that medoid shortcut
+        adj_full = keyframe.has_full_features
+        cur_full = current_keyframe.has_full_features
         for i, (kp_cur, kp_adj) in enumerate(matches):
             # the reference allocates the id and creates the MapPoint before
             # the triangulation check, registering it only on success
@@ -248,7 +260,10 @@ def create_new_map_points(current_keyframe: Keyframe,
             current_keyframe.add_observation(map_point.id, kp_cur)
             keyframe.add_observation(map_point.id, kp_adj)
             map_db.map_points[mp_id] = map_point
-            map_point.update_descriptor(map_db)
+            if adj_full:
+                map_point.descriptor = keyframe.shared.descriptors[int(kp_adj)].copy()
+            elif cur_full:
+                map_point.descriptor = current_keyframe.shared.descriptors[int(kp_cur)].copy()
 
 
 @timed
@@ -258,10 +273,14 @@ def deduplicate_map_points(current_keyframe: Keyframe,
     """reference: mapper_helpers.cpp:320-347"""
     margin = (get_focal_length(current_keyframe)
               * settings.parameters.slam.relativeReprojectionErrorThreshold)
+    # attribute columns are loop-invariant within the pass; the cache rebuilds
+    # them only when a merge rewrote the current keyframe's candidate list
+    cache = matcher._MpColumnCache(map_db)
     for kf_id in adjacent_kf_ids:
         adjacent = map_db.keyframes[kf_id]
         mp_ids = [MpId(int(v)) for v in current_keyframe.map_points if v >= 0]
-        matcher.replace_duplication(adjacent, mp_ids, margin, map_db, settings)
+        matcher.replace_duplication(adjacent, mp_ids, margin, map_db, settings,
+                                    cache=cache)
     adjacent_mps: Set[MpId] = set()
     for kf_id in adjacent_kf_ids:
         adjacent = map_db.keyframes[kf_id]
@@ -803,18 +822,19 @@ def add_keyframe_common_inner(map_db: MapDB, current_keyframe: Keyframe,
 
     # refresh descriptors / norms; promote or demote by observation count
     # (mapper_helpers.cpp:1061-1077)
-    for mp_val in current_keyframe.map_points:
-        if mp_val < 0:
-            continue
-        mp = map_db.map_points[MpId(int(mp_val))]
-        if mp.status in (MapPointStatus.NOT_TRIANGULATED, MapPointStatus.BAD):
-            continue
-        mp.update_descriptor(map_db)
-        mp.update_distance_and_norm(map_db, settings)
-        if len(mp.observations) >= ps.minObservationsForBA:
-            mp.status = MapPointStatus.TRIANGULATED
-        else:
-            mp.status = MapPointStatus.UNSURE
+    with section("refresh_map_points"):
+        for mp_val in current_keyframe.map_points:
+            if mp_val < 0:
+                continue
+            mp = map_db.map_points[MpId(int(mp_val))]
+            if mp.status in (MapPointStatus.NOT_TRIANGULATED, MapPointStatus.BAD):
+                continue
+            mp.update_descriptor(map_db)
+            mp.update_distance_and_norm(map_db, settings)
+            if len(mp.observations) >= ps.minObservationsForBA:
+                mp.status = MapPointStatus.TRIANGULATED
+            else:
+                mp.status = MapPointStatus.UNSURE
 
     # pipelinedLocalBA: the previous keyframe's deferred solve has been
     # overlapping all the host matching above; collect it and run its
@@ -858,8 +878,11 @@ def _post_ba_tail(map_db: MapDB, current_keyframe: Keyframe,
     cull_map_points(current_keyframe, map_db, ps)
     cull_keyframes(adjacent_kf_ids, map_db, bow_index, ps)
 
-    bow_index.add(current_keyframe, CURRENT_MAP_ID)
-    closed_loop = loop_closer.try_loop_closure(current_keyframe, adjacent_kf_ids)
+    with section("bow_index_add"):
+        bow_index.add(current_keyframe, CURRENT_MAP_ID)
+    with section("try_loop_closure"):
+        closed_loop = loop_closer.try_loop_closure(current_keyframe,
+                                                   adjacent_kf_ids)
     if closed_loop:
         if ps.globalBAAfterLoop:
             global_bundle_adjust(current_keyframe.id, map_db, settings)

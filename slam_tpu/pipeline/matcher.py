@@ -8,7 +8,7 @@ the reference's sequential semantics exactly.
 """
 from __future__ import annotations
 
-from typing import Iterable, List, Tuple
+from typing import Iterable, List, Optional, Tuple
 
 import numpy as np
 
@@ -146,7 +146,6 @@ def search_by_projection(kf: Keyframe, mp_ids: List[MpId], map_db: MapDB,
     pix, visible = kf.reproject_many(positions)
     cam_center = kf.camera_center()
     mp_descs = np.stack([mp.descriptor for mp in mps])
-    dist_all = _distance_matrix(mp_descs, kf.shared.descriptors)
 
     # vectorized per-candidate geometry (identical math to the scalar gates)
     mp_to_kf_all = (cam_center - positions).astype(np.float32)
@@ -168,6 +167,37 @@ def search_by_projection(kf: Keyframe, mp_ids: List[MpId], map_db: MapDB,
         mp_j = map_db.map_points.get(MpId(int(kf.map_points[j])))
         owned[j] = mp_j is not None and len(mp_j.observations) > 0
 
+    # ONE fused native pass over the surviving candidates: radius search,
+    # best/second Hamming + octaves, accept rule, sequential ownership claims
+    # — identical semantics to the Python loop below (its NumPy twin)
+    from slam_tpu import native
+    fs = kf.shared.feature_search
+    if fs is not None:
+        with np.errstate(invalid="ignore"):
+            keep = (visible & (d_all >= min_d_all) & (d_all <= max_d_all)
+                    & (cos_all >= view_angle_limit_cos))
+        qsel = np.flatnonzero(keep)
+        if len(qsel) == 0:
+            return 0
+        shrink = np.where(cos_all[qsel] > 0.998, 2.5 / 4.0, 1.0)
+        radii = (shrink * threshold
+                 * np.asarray(sf, np.float64)[pred_all[qsel]] / ref_scale)
+        owned_u8 = owned.astype(np.uint8)
+        matched = native.project_greedy_claim(
+            fs._xs, fs._ys, fs._order.astype(np.int64),
+            kf.shared.descriptors, kf.shared.octave, owned_u8,
+            pix[qsel, 0], pix[qsel, 1], radii.astype(np.float32),
+            mp_descs[qsel], HAMMING_DIST_THR_HIGH, 0.8)
+        if matched is not None:
+            for qi, j in zip(qsel, matched):
+                if j >= 0:
+                    mp = mps[qi]
+                    kf.add_observation(mp.id, KpId(int(j)))
+                    mp.add_observation(kf.id, KpId(int(j)))
+                    match_count += 1
+            return match_count
+
+    dist_all = _distance_matrix(mp_descs, kf.shared.descriptors)
     for k, mp in enumerate(mps):
         if not visible[k]:
             continue
@@ -201,9 +231,46 @@ def search_by_projection(kf: Keyframe, mp_ids: List[MpId], map_db: MapDB,
     return match_count
 
 
+class _MpColumnCache:
+    """Loop-invariant map-point attribute columns shared by the
+    ``replace_duplication`` calls of one dedup pass.
+
+    Positions/norms/descriptors/viewing distances of surviving points never
+    change during a pass (merges only rewire observation links), so the
+    stacked arrays are rebuilt only when the candidate id list itself changes
+    (a merge rewrote a keyframe slot). Liveness and observation-link gating
+    are still re-derived on every call."""
+
+    def __init__(self, map_db: MapDB):
+        self.map_db = map_db
+        self.key = None
+        self.mps = None
+
+    def lookup(self, mp_ids: List[MpId]):
+        key = tuple(int(m) for m in mp_ids)
+        if key != self.key:
+            self.key = key
+            mps = [self.map_db.map_points.get(m) for m in mp_ids]
+            self.mps = mps
+            n = len(mps)
+            self.positions = np.zeros((n, 3))
+            self.norms = np.zeros((n, 3), np.float32)
+            self.descs = np.zeros((n, 8), np.uint32)
+            self.max_d = np.zeros(n)
+            for k, mp in enumerate(mps):
+                if mp is None:
+                    continue
+                self.positions[k] = mp.position
+                self.norms[k] = mp.norm
+                self.descs[k] = mp.descriptor
+                self.max_d[k] = mp.max_viewing_distance
+        return self
+
+
 @timed
 def replace_duplication(kf: Keyframe, mp_ids: Iterable[MpId], margin: float,
-                        map_db: MapDB, settings: StaticSettings) -> int:
+                        map_db: MapDB, settings: StaticSettings,
+                        cache: Optional[_MpColumnCache] = None) -> int:
     """Fuse map points duplicated by projection
     (reference: keyframe_matcher.cpp:416-529)."""
     erased: set = set()
@@ -213,19 +280,21 @@ def replace_duplication(kf: Keyframe, mp_ids: Iterable[MpId], margin: float,
 
     # vectorized geometric gating: positions never change during the loop
     # (only observation links do), so projections/distances are precomputed
-    mp_list = [map_db.map_points.get(m) for m in mp_ids]
-    alive = [(m, mp) for m, mp in zip(mp_ids, mp_list)
-             if mp is not None and int(m) >= 0
-             and kf.id not in mp.observations
-             and mp.status not in (MapPointStatus.BAD,
-                                   MapPointStatus.NOT_TRIANGULATED)]
+    mp_ids = list(mp_ids)
+    cols = (cache if cache is not None else _MpColumnCache(map_db)).lookup(mp_ids)
+    rows = [k for k, mp in enumerate(cols.mps)
+            if mp is not None and int(mp_ids[k]) >= 0
+            and kf.id not in mp.observations
+            and mp.status not in (MapPointStatus.BAD,
+                                  MapPointStatus.NOT_TRIANGULATED)]
+    alive = [(mp_ids[k], cols.mps[k]) for k in rows]
     if not alive:
         return 0
-    positions = np.stack([mp.position for _, mp in alive])
+    positions = cols.positions[rows]
     pix_all, in_image_all = kf.reproject_many(positions)
     mp_to_kf_all = (kf.camera_center() - positions).astype(np.float32)
     dist_all = np.linalg.norm(mp_to_kf_all, axis=1)
-    norms_all = np.stack([mp.norm for _, mp in alive])
+    norms_all = cols.norms[rows]
     cos_all = (np.sum(mp_to_kf_all * norms_all, axis=1)
                / np.maximum(dist_all, 1e-12))
 
@@ -238,15 +307,14 @@ def replace_duplication(kf: Keyframe, mp_ids: Iterable[MpId], margin: float,
     pre_best = None
     if fs is not None:
         pred_all = MapPoint.predict_scale_levels(
-            np.array([mp.max_viewing_distance for _, mp in alive]),
-            dist_all, settings)
+            cols.max_d[rows], dist_all, settings)
         radii = (margin * np.asarray(sf, np.float64)[pred_all]
                  / base_scale * SQRT_CHI2_INV2D).astype(np.float32)
         pre = native.radius_hamming_best(
             fs._xs, fs._ys, fs._order.astype(np.int64),
             kf.shared.descriptors, kf.shared.octave,
             pix_all[:, 0], pix_all[:, 1], radii,
-            np.stack([mp.descriptor for _, mp in alive]))
+            cols.descs[rows])
         if pre is not None:
             pre_best = pre
 

@@ -222,3 +222,42 @@ class TestRadiusHammingBest:
             k = int(np.argmin(dd))
             assert bi[q] == idxs[k], q
             assert bd[q] == dd[k], q
+
+
+class TestProjectGreedyClaim:
+    def test_matches_python_twin_on_episode(self, monkeypatch):
+        """The fused native searchByProjection loop must claim exactly the
+        same (map point, keypoint) pairs as the Python fallback on a real
+        episode's local-map matching calls."""
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from synthetic_world import (FakeOrbExtractor, TrackSimulator,
+                                     make_mapper_input, make_world)
+        from slam_tpu.params import Parameters, ParametersSlam
+        from slam_tpu.pipeline.mapper import Mapper
+        from slam_tpu.pipeline import matcher as pm
+
+        def build_map():
+            world = make_world(n_frames=14, n_landmarks=250, seed=3,
+                               odom_noise=0.002)
+            tracker = TrackSimulator(world)
+            extractor = FakeOrbExtractor(world, tracker, pix_noise=0.3)
+            mapper = Mapper(Parameters(slam=ParametersSlam(
+                keyframeDecisionMinIntervalSeconds=0.0,
+                minVisibleMapPointsInCurrentFrameBA=8,
+                localBAProblemSize=12, adjacentSpaceSize=10,
+                useFrontendSlam=False)), orb_extractor=extractor)
+            for i in range(14):
+                mapper.advance(make_mapper_input(world, i, tracker))
+            return mapper
+
+        def snapshot(mapper):
+            return {int(mp_id): dict(mp.observations)
+                    for mp_id, mp in mapper.map_db.map_points.items()}
+
+        m_native = build_map()
+        assert native.available()
+        monkeypatch.setattr(native, "project_greedy_claim",
+                            lambda *a, **k: None)
+        m_python = build_map()
+        assert snapshot(m_native) == snapshot(m_python)
