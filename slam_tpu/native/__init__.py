@@ -66,6 +66,10 @@ def get_lib() -> Optional[ctypes.CDLL]:
                                        ctypes.c_int64, i32p]
         lib.medoid_descriptor.argtypes = [u32p, ctypes.c_int64]
         lib.medoid_descriptor.restype = ctypes.c_int64
+        lib.medoid_descriptor_many.argtypes = [
+            u32p, np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS"),
+            ctypes.c_int64,
+            np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")]
         lib.radius_search.argtypes = [f32p, f32p, ctypes.c_int64,
                                       ctypes.c_float, ctypes.c_float,
                                       ctypes.c_float, i64p]
@@ -155,6 +159,25 @@ def medoid_descriptor(descs: np.ndarray) -> int:
     dist = hamming_matrix_host(descs, descs)
     medians = np.sort(dist, axis=1)[:, int(0.5 * (n - 1))]
     return int(np.argmin(medians))
+
+
+def medoid_descriptor_many(descs_flat: np.ndarray,
+                           ptr: np.ndarray) -> np.ndarray:
+    """CSR-batched medoid scan: segment p owns descriptor rows
+    [ptr[p], ptr[p+1]) of ``descs_flat``. Returns the medoid index WITHIN
+    each segment (-1 for empty segments); one native call for all segments,
+    falling back to the per-segment scan when the library is unavailable."""
+    descs_flat = np.ascontiguousarray(descs_flat, np.uint32)
+    ptr = np.ascontiguousarray(ptr, np.int64)
+    n = len(ptr) - 1
+    out = np.empty(n, np.int64)
+    lib = get_lib()
+    if lib is not None:
+        lib.medoid_descriptor_many(descs_flat, ptr, n, out)
+        return out
+    for p in range(n):
+        out[p] = medoid_descriptor(descs_flat[ptr[p]:ptr[p + 1]])
+    return out
 
 
 def radius_search(xs_sorted: np.ndarray, ys_sorted: np.ndarray,

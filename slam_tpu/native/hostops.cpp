@@ -307,6 +307,16 @@ void radius_hamming_best(
     }
 }
 
+// CSR-batched medoid scan: points[p] owns descriptors [ptr[p], ptr[p+1]).
+// Same semantics as medoid_descriptor per segment; out[p] is the index
+// WITHIN the segment (-1 for an empty segment).
+void medoid_descriptor_many(const uint32_t* descs, const int64_t* ptr,
+                            int64_t n_points, int64_t* out) {
+    for (int64_t p = 0; p < n_points; ++p) {
+        out[p] = medoid_descriptor(descs + 8 * ptr[p], ptr[p + 1] - ptr[p]);
+    }
+}
+
 // ---------------------------------------------------------------------------
 // Fused projection-matcher greedy claim (reference:
 // keyframe_matcher.cpp:295-414 searchByProjection inner loop). For each query

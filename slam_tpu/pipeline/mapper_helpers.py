@@ -276,11 +276,20 @@ def deduplicate_map_points(current_keyframe: Keyframe,
     # attribute columns are loop-invariant within the pass; the cache rebuilds
     # them only when a merge rewrote the current keyframe's candidate list
     cache = matcher._MpColumnCache(map_db)
+    prev_key = None
+    mp_ids: List[MpId] = []
     for kf_id in adjacent_kf_ids:
         adjacent = map_db.keyframes[kf_id]
-        mp_ids = [MpId(int(v)) for v in current_keyframe.map_points if v >= 0]
+        # the candidate list is re-derived per adjacent keyframe (a merge may
+        # rewrite the current keyframe's slots, reference semantics), but the
+        # id objects are only rebuilt when the slots actually changed
+        sel = current_keyframe.map_points[current_keyframe.map_points >= 0]
+        key = sel.tobytes()
+        if key != prev_key:
+            prev_key = key
+            mp_ids = [MpId(int(v)) for v in sel]
         matcher.replace_duplication(adjacent, mp_ids, margin, map_db, settings,
-                                    cache=cache)
+                                    cache=cache, cache_key=key)
     adjacent_mps: Set[MpId] = set()
     for kf_id in adjacent_kf_ids:
         adjacent = map_db.keyframes[kf_id]
@@ -777,6 +786,112 @@ def update_point_cloud_recording(t: float,
             rec.positions.append(MapPointRecordPosition(t, p0))
 
 
+@timed
+def refresh_map_points(current_keyframe: Keyframe, map_db: MapDB,
+                       settings: StaticSettings) -> None:
+    """Batched descriptor / viewing-cone refresh + status promotion for the
+    current keyframe's surviving map points (reference:
+    mapper_helpers.cpp:1061-1077).
+
+    Same math as the scalar ``MapPoint.update_descriptor`` /
+    ``update_distance_and_norm`` loop (the semantics reference, still used at
+    the other call sites), but columnar: one pass assembles per-observation
+    arrays (camera centers cached per keyframe), the viewing normals come
+    from one vectorized segment sum, and all medoid scans run in ONE native
+    CSR call instead of a ctypes round trip per point."""
+    from slam_tpu import native
+
+    ps = settings.parameters.slam
+    mps = []
+    for mp_val in current_keyframe.map_points:
+        if mp_val < 0:
+            continue
+        mp = map_db.map_points[MpId(int(mp_val))]
+        if mp.status in (MapPointStatus.NOT_TRIANGULATED, MapPointStatus.BAD):
+            continue
+        mps.append(mp)
+    if not mps:
+        return
+
+    n = len(mps)
+    positions = np.empty((n, 3))
+    kf_row: dict = {}        # kf_id -> row in the center/flag tables
+    centers_list = []
+    full_list = []
+    kfs_list = []
+    seg = []                 # map-point index per observation row
+    crow = []                # center-table row per observation row
+    first_crow = np.empty(n, np.int64)
+    first_oct = np.empty(n, np.int64)
+    desc_chunks = []         # descriptor rows of full-featured observations
+    dcount = np.zeros(n + 1, np.int64)
+    for i, mp in enumerate(mps):
+        positions[i] = mp.position
+        obs_sorted = sorted(mp.observations)
+        for kf_id in obs_sorted:
+            r = kf_row.get(kf_id)
+            if r is None:
+                kf = map_db.keyframes[kf_id]
+                r = kf_row[kf_id] = len(centers_list)
+                centers_list.append(kf.camera_center())
+                full_list.append(kf.has_full_features)
+                kfs_list.append(kf)
+            seg.append(i)
+            crow.append(r)
+            if full_list[r]:
+                desc_chunks.append(
+                    kfs_list[r].shared.descriptors[int(mp.observations[kf_id])])
+                dcount[i + 1] += 1
+        r0 = kf_row[obs_sorted[0]]
+        first_crow[i] = r0
+        first_oct[i] = int(
+            kfs_list[r0].shared.octave[int(mp.observations[obs_sorted[0]])])
+
+    centers = np.asarray(centers_list)
+    seg_a = np.asarray(seg, np.int64)
+    crow_a = np.asarray(crow, np.int64)
+
+    # viewing normal: mean of unit map-point->camera vectors, summed in the
+    # same (map point, sorted kf) order as the scalar loop
+    v = centers[crow_a] - positions[seg_a]
+    vnorm = np.linalg.norm(v, axis=1)
+    vunit = np.zeros_like(v)
+    nz = vnorm > 0
+    vunit[nz] = v[nz] / vnorm[nz, None]
+    norm_sum = np.zeros((n, 3))
+    np.add.at(norm_sum, seg_a, vunit)
+    counts = np.bincount(seg_a, minlength=n)
+    norms = (norm_sum / counts[:, None]).astype(np.float32)
+
+    # min/max viewing distance from the FIRST (lowest-id) observation
+    dist0 = np.linalg.norm(centers[first_crow] - positions, axis=1)
+    sf = np.asarray(settings.scaleFactors, np.float64)
+    max_d = dist0 * sf[first_oct]
+    min_d = max_d / float(sf[-1])
+
+    # medoid descriptors: one CSR-batched native scan (n<=2 segments resolve
+    # to the first descriptor, identical to the scalar shortcut)
+    dptr = np.cumsum(dcount)
+    if desc_chunks:
+        flat = np.stack(desc_chunks)
+        med = native.medoid_descriptor_many(flat, dptr)
+    else:
+        flat = None
+        med = None
+
+    min_obs = ps.minObservationsForBA
+    for i, mp in enumerate(mps):
+        if med is not None and med[i] >= 0:
+            mp.descriptor = flat[dptr[i] + med[i]].copy()
+        mp.norm = norms[i]
+        mp.max_viewing_distance = float(max_d[i])
+        mp.min_viewing_distance = float(min_d[i])
+        if len(mp.observations) >= min_obs:
+            mp.status = MapPointStatus.TRIANGULATED
+        else:
+            mp.status = MapPointStatus.UNSURE
+
+
 # ---------------------------------------------------------------------------
 # addKeyframe orchestration (reference: mapper_helpers.cpp:1011-1278)
 # ---------------------------------------------------------------------------
@@ -822,19 +937,7 @@ def add_keyframe_common_inner(map_db: MapDB, current_keyframe: Keyframe,
 
     # refresh descriptors / norms; promote or demote by observation count
     # (mapper_helpers.cpp:1061-1077)
-    with section("refresh_map_points"):
-        for mp_val in current_keyframe.map_points:
-            if mp_val < 0:
-                continue
-            mp = map_db.map_points[MpId(int(mp_val))]
-            if mp.status in (MapPointStatus.NOT_TRIANGULATED, MapPointStatus.BAD):
-                continue
-            mp.update_descriptor(map_db)
-            mp.update_distance_and_norm(map_db, settings)
-            if len(mp.observations) >= ps.minObservationsForBA:
-                mp.status = MapPointStatus.TRIANGULATED
-            else:
-                mp.status = MapPointStatus.UNSURE
+    refresh_map_points(current_keyframe, map_db, settings)
 
     # pipelinedLocalBA: the previous keyframe's deferred solve has been
     # overlapping all the host matching above; collect it and run its

@@ -246,8 +246,9 @@ class _MpColumnCache:
         self.key = None
         self.mps = None
 
-    def lookup(self, mp_ids: List[MpId]):
-        key = tuple(int(m) for m in mp_ids)
+    def lookup(self, mp_ids: List[MpId], key=None):
+        if key is None:
+            key = tuple(int(m) for m in mp_ids)
         if key != self.key:
             self.key = key
             mps = [self.map_db.map_points.get(m) for m in mp_ids]
@@ -257,6 +258,7 @@ class _MpColumnCache:
             self.norms = np.zeros((n, 3), np.float32)
             self.descs = np.zeros((n, 8), np.uint32)
             self.max_d = np.zeros(n)
+            self.min_d = np.zeros(n)
             for k, mp in enumerate(mps):
                 if mp is None:
                     continue
@@ -264,13 +266,15 @@ class _MpColumnCache:
                 self.norms[k] = mp.norm
                 self.descs[k] = mp.descriptor
                 self.max_d[k] = mp.max_viewing_distance
+                self.min_d[k] = mp.min_viewing_distance
         return self
 
 
 @timed
 def replace_duplication(kf: Keyframe, mp_ids: Iterable[MpId], margin: float,
                         map_db: MapDB, settings: StaticSettings,
-                        cache: Optional[_MpColumnCache] = None) -> int:
+                        cache: Optional[_MpColumnCache] = None,
+                        cache_key=None) -> int:
     """Fuse map points duplicated by projection
     (reference: keyframe_matcher.cpp:416-529)."""
     erased: set = set()
@@ -281,7 +285,8 @@ def replace_duplication(kf: Keyframe, mp_ids: Iterable[MpId], margin: float,
     # vectorized geometric gating: positions never change during the loop
     # (only observation links do), so projections/distances are precomputed
     mp_ids = list(mp_ids)
-    cols = (cache if cache is not None else _MpColumnCache(map_db)).lookup(mp_ids)
+    cols = (cache if cache is not None else _MpColumnCache(map_db)).lookup(
+        mp_ids, key=cache_key)
     rows = [k for k, mp in enumerate(cols.mps)
             if mp is not None and int(mp_ids[k]) >= 0
             and kf.id not in mp.observations
@@ -318,7 +323,26 @@ def replace_duplication(kf: Keyframe, mp_ids: Iterable[MpId], margin: float,
         if pre is not None:
             pre_best = pre
 
-    for k, (mp_id, mp) in enumerate(alive):
+    # with the fused native pre-pass, every gate except the mutable-state
+    # rechecks is loop-invariant — restrict the sequential loop to the rows
+    # that could possibly merge (skipped rows have no side effects, so this
+    # is exactly equivalent to the full scan; NaN comparisons negated to
+    # match the scalar short-circuit semantics)
+    if pre_best is not None:
+        bi_all, bd_all = pre_best
+        with np.errstate(invalid="ignore"):
+            static_ok = (in_image_all
+                         & ~((dist_all < cols.min_d[rows])
+                             | (dist_all > cols.max_d[rows]))
+                         & np.any(norms_all != 0, axis=1)
+                         & ~(cos_all < 0.5)
+                         & (bi_all >= 0) & (bd_all <= HAMMING_DIST_THR_LOW))
+        iter_rows = np.flatnonzero(static_ok)
+    else:
+        iter_rows = range(len(alive))
+
+    for k in iter_rows:
+        mp_id, mp = alive[k]
         if mp_id in erased or mp.id not in map_db.map_points:
             continue
         # re-check mutable state: an earlier merge may have linked this map

@@ -224,6 +224,65 @@ class TestRadiusHammingBest:
             assert bd[q] == dd[k], q
 
 
+class TestRefreshMapPoints:
+    def test_batched_matches_scalar_loop(self):
+        """The columnar refresh_map_points pass must reproduce the scalar
+        update_descriptor + update_distance_and_norm loop on a real map."""
+        import sys, os
+        sys.path.insert(0, os.path.dirname(__file__))
+        from synthetic_world import (FakeOrbExtractor, TrackSimulator,
+                                     make_mapper_input, make_world)
+        from slam_tpu.map.map_point import MapPointStatus
+        from slam_tpu.ids import MpId
+        from slam_tpu.params import Parameters, ParametersSlam
+        from slam_tpu.pipeline.mapper import Mapper
+        from slam_tpu.pipeline import mapper_helpers as mh
+
+        world = make_world(n_frames=12, n_landmarks=220, seed=5,
+                           odom_noise=0.002)
+        tracker = TrackSimulator(world)
+        extractor = FakeOrbExtractor(world, tracker, pix_noise=0.3)
+        mapper = Mapper(Parameters(slam=ParametersSlam(
+            keyframeDecisionMinIntervalSeconds=0.0,
+            minVisibleMapPointsInCurrentFrameBA=8,
+            localBAProblemSize=12, adjacentSpaceSize=10,
+            useFrontendSlam=False)), orb_extractor=extractor)
+        for i in range(12):
+            mapper.advance(make_mapper_input(world, i, tracker))
+
+        map_db = mapper.map_db
+        settings = mapper.settings
+        min_obs = settings.parameters.slam.minObservationsForBA
+        for kf in map_db.keyframes.values():
+            db_scalar = map_db.copy()
+            db_batched = map_db.copy()
+            kf_s = db_scalar.keyframes[kf.id]
+            kf_b = db_batched.keyframes[kf.id]
+            # scalar semantics reference (the pre-batching loop)
+            for mp_val in kf_s.map_points:
+                if mp_val < 0:
+                    continue
+                mp = db_scalar.map_points[MpId(int(mp_val))]
+                if mp.status in (MapPointStatus.NOT_TRIANGULATED,
+                                 MapPointStatus.BAD):
+                    continue
+                mp.update_descriptor(db_scalar)
+                mp.update_distance_and_norm(db_scalar, settings)
+                mp.status = (MapPointStatus.TRIANGULATED
+                             if len(mp.observations) >= min_obs
+                             else MapPointStatus.UNSURE)
+            mh.refresh_map_points(kf_b, db_batched, settings)
+            for mp_id, mp_s in db_scalar.map_points.items():
+                mp_b = db_batched.map_points[mp_id]
+                assert np.array_equal(mp_s.descriptor, mp_b.descriptor), mp_id
+                assert mp_s.status == mp_b.status, mp_id
+                np.testing.assert_allclose(mp_s.norm, mp_b.norm, atol=1e-6)
+                np.testing.assert_allclose(
+                    [mp_s.min_viewing_distance, mp_s.max_viewing_distance],
+                    [mp_b.min_viewing_distance, mp_b.max_viewing_distance],
+                    rtol=1e-12)
+
+
 class TestProjectGreedyClaim:
     def test_matches_python_twin_on_episode(self, monkeypatch):
         """The fused native searchByProjection loop must claim exactly the
