@@ -287,21 +287,27 @@ class Keyframe:
     def get_neighbors(self, map_db: "MapDB", min_covisibilities: int = 1,
                       triangulated_only: bool = False) -> List[KfId]:
         """Covisibility neighbors; prev/next always count
-        (reference: keyframe.cpp:192-230)."""
+        (reference: keyframe.cpp:192-230).
+
+        Counting runs at C level (Counter over chained observation dicts);
+        the prev/next floor of ``min_covisibilities`` is added afterwards,
+        which is exactly the scalar loop's "seed then increment" tally."""
+        from collections import Counter
+        from itertools import chain
         from slam_tpu.map.map_point import MapPointStatus
-        covis: Dict[KfId, int] = {}
+        mpd = map_db.map_points
+        vals = self.map_points
+        mps = [mpd[v] for v in vals[vals >= 0].tolist()]
+        if triangulated_only:
+            obs_iter = (mp.observations for mp in mps
+                        if mp.status == MapPointStatus.TRIANGULATED)
+        else:
+            obs_iter = (mp.observations for mp in mps)
+        covis = Counter(chain.from_iterable(obs_iter))
         if self.previous_kf_id.valid:
-            covis[self.previous_kf_id] = min_covisibilities
+            covis[self.previous_kf_id] += min_covisibilities
         if self.next_kf_id.valid:
-            covis[self.next_kf_id] = min_covisibilities
-        for mp_id in self.map_points:
-            if mp_id < 0:
-                continue
-            mp = map_db.map_points[MpId(mp_id)]
-            if triangulated_only and mp.status != MapPointStatus.TRIANGULATED:
-                continue
-            for kf_id in mp.observations:
-                covis[kf_id] = covis.get(kf_id, 0) + 1
+            covis[self.next_kf_id] += min_covisibilities
         return sorted(kf_id for kf_id, c in covis.items()
                       if kf_id != self.id and c >= min_covisibilities)
 

@@ -156,6 +156,16 @@ class _ProblemBuilder:
             self.points_fixed.append(fixed)
         return slot
 
+    def add_map_points_bulk(self, mps, fixed: bool = False) -> None:
+        """add_map_point for a list of fresh points (none already present)."""
+        base = len(self.mp_ids)
+        for mp in mps:
+            self.mp_ids.append(mp.id)
+            self.points.append(np.asarray(mp.position, np.float64))
+            self.points_fixed.append(fixed)
+        self.mp_slot.update(
+            (mp.id, base + i) for i, mp in enumerate(mps))
+
     def add_observation(self, kf: Keyframe, kp_id: KpId, mp: MapPoint) -> None:
         """Normalized-camera measurement with focal^2/sigma^2 information
         (reference: bundle_adjuster.cpp:43-63)."""
@@ -399,17 +409,22 @@ def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
         if i >= 5:
             break
 
-    n_current_frame_mps = 0
-    for kf_id in sorted(local_keyframes, reverse=True):
-        kf = map_db.keyframes[kf_id]
-        for mp_val in kf.map_points:
-            if mp_val < 0:
-                continue
-            mp = map_db.map_points[MpId(int(mp_val))]
-            if mp.status == MapPointStatus.TRIANGULATED:
-                if kf_id == keyframe.id:
-                    n_current_frame_mps += 1
-                local_map_points.add(mp.id)
+    # vectorized map-point collection: unique positive slots over the local
+    # keyframes, then ONE status check per unique id (the scalar loop did one
+    # dict lookup per (keyframe, slot) pair)
+    vals_per_kf = [map_db.keyframes[k].map_points for k in local_keyframes]
+    pos_vals = np.concatenate(vals_per_kf)
+    uniq = np.unique(pos_vals[pos_vals >= 0])
+    tri_mps = []
+    for v in uniq.tolist():
+        mp = map_db.map_points[v]
+        if mp.status == MapPointStatus.TRIANGULATED:
+            tri_mps.append(mp)
+    local_mp_vals = np.fromiter((int(mp.id) for mp in tri_mps), np.int64,
+                                len(tri_mps))
+    local_map_points.update(local_mp_vals.tolist())
+    cur_vals = keyframe.map_points[keyframe.map_points >= 0]
+    n_current_frame_mps = int(np.isin(cur_vals, local_mp_vals).sum())
 
     if parameters.kfAsciiBA:
         # reference: bundle_adjuster.cpp:225-233
@@ -425,20 +440,20 @@ def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
     builder = _ProblemBuilder(settings)
     for kf_id in sorted(local_keyframes):
         builder.add_keyframe(map_db.keyframes[kf_id], fixed=(kf_id != keyframe.id))
-    for mp_id in sorted(local_map_points):
-        builder.add_map_point(map_db.map_points[mp_id], fixed=False)
+    # map points enter in ascending-id order (tri_mps is np.unique-sorted),
+    # so slot == rank in local_mp_vals and the per-observation slot lookup
+    # below is one searchsorted instead of a dict get per observation
+    builder.add_map_points_bulk(tri_mps, fixed=False)
     # observations, bulk per keyframe (same (kf, mp) set as the reference's
     # per-map-point loop; order within the padded arrays is irrelevant)
-    local_mp_vals = np.fromiter((int(m) for m in sorted(local_map_points)),
-                                np.int64, len(local_map_points))
     for kf_id in sorted(local_keyframes):
         kf = map_db.keyframes[kf_id]
-        sel = np.where(np.isin(kf.map_points, local_mp_vals))[0]
+        sel = np.flatnonzero(np.isin(kf.map_points, local_mp_vals))
         if len(sel) == 0:
             continue
-        mp_ids = [MpId(int(v)) for v in kf.map_points[sel]]
-        mp_slots = np.array([builder.mp_slot[m] for m in mp_ids])
-        builder.add_observations_bulk(kf, sel, mp_slots, mp_ids)
+        vals = kf.map_points[sel]
+        mp_slots = np.searchsorted(local_mp_vals, vals).astype(np.int32)
+        builder.add_observations_bulk(kf, sel, mp_slots, vals.tolist())
     # chain all local keyframes with odometry edges (descending id order,
     # reference: bundle_adjuster.cpp:296-311)
     other = KfId(-1)
