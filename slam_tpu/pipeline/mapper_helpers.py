@@ -109,40 +109,55 @@ def match_local_map_points(current_keyframe: Keyframe,
                            settings: StaticSettings) -> None:
     """reference: mapper_helpers.cpp:231-269 (frustum test vectorized)"""
     parameters = settings.parameters.slam
-    unique_mps: Set[int] = set()
-    for kf_id in adjacent_kf_ids:
-        kf = map_db.keyframes[kf_id]
-        unique_mps.update(int(v) for v in kf.map_points[kf.map_points >= 0])
-    candidates = []
-    for mp_val in sorted(unique_mps):
-        mp = map_db.map_points[MpId(mp_val)]
-        if (mp.status not in (MapPointStatus.NOT_TRIANGULATED, MapPointStatus.BAD)
-                and current_keyframe.id not in mp.observations):
-            candidates.append(mp)
-    if not candidates:
+    if not adjacent_kf_ids:
         return
-    # batched isInFrustum (keyframe.cpp:247-262 semantics); one fill pass
-    # over the candidate objects instead of four attribute comprehensions
-    n = len(candidates)
-    positions = np.empty((n, 3))
-    norms = np.empty((n, 3), np.float32)
-    min_d = np.empty(n)
-    max_d = np.empty(n)
-    for i, mp in enumerate(candidates):
+    # unique candidate ids over the adjacent keyframes, minus the ones the
+    # current keyframe already observes (kf-side membership, the audited link
+    # invariant for "current_keyframe.id in mp.observations")
+    allv = np.concatenate([map_db.keyframes[k].map_points
+                           for k in adjacent_kf_ids])
+    uniq = np.unique(allv[allv >= 0])
+    cur_vals = current_keyframe.map_points
+    uniq = uniq[~np.isin(uniq, cur_vals[cur_vals >= 0])]
+    # single pass: status gate + batched-isInFrustum column fill
+    # (keyframe.cpp:247-262 semantics)
+    n_max = len(uniq)
+    candidates = []
+    positions = np.empty((n_max, 3))
+    norms = np.empty((n_max, 3), np.float32)
+    min_d = np.empty(n_max)
+    max_d = np.empty(n_max)
+    i = 0
+    for v in uniq.tolist():
+        mp = map_db.map_points[v]
+        if mp.status in (MapPointStatus.NOT_TRIANGULATED, MapPointStatus.BAD):
+            continue
+        candidates.append(mp)
         positions[i] = mp.position
         norms[i] = mp.norm
         min_d[i] = mp.min_viewing_distance
         max_d[i] = mp.max_viewing_distance
-    _, visible = current_keyframe.reproject_many(positions)
+        i += 1
+    if i == 0:
+        return
+    positions, norms = positions[:i], norms[:i]
+    min_d, max_d = min_d[:i], max_d[:i]
+    pix, visible = current_keyframe.reproject_many(positions)
     mp_to_kf = (current_keyframe.camera_center() - positions).astype(np.float32)
     dist = np.linalg.norm(mp_to_kf, axis=1)
     viewing_cos = np.sum(mp_to_kf * norms, axis=1) / np.maximum(dist, 1e-12)
     ok = visible & (dist >= min_d) & (dist <= max_d) & (viewing_cos >= 0.5)
-    local_mps = [mp.id for mp, o in zip(candidates, ok) if o]
-    if not local_mps:
+    sel = np.flatnonzero(ok)
+    if len(sel) == 0:
         return
+    local = [candidates[k] for k in sel]
     r = get_focal_length(current_keyframe) * parameters.relativeReprojectionErrorThreshold
-    matcher.search_by_projection(current_keyframe, local_mps, map_db, r, settings)
+    # hand the already-computed gate columns over (identical formulas), so
+    # search_by_projection skips its own gather + reprojection pass
+    matcher.search_by_projection(
+        current_keyframe, [mp.id for mp in local], map_db, r, settings,
+        precomp=(local, pix[sel], visible[sel], dist[sel], viewing_cos[sel],
+                 min_d[sel], max_d[sel]))
 
 
 def _batch_triangulate_pairs(cur_kf: Keyframe, adj_kf: Keyframe,
@@ -157,8 +172,9 @@ def _batch_triangulate_pairs(cur_kf: Keyframe, adj_kf: Keyframe,
     Returns (positions (B, 3), ok (B,)).
     """
     parameters = settings.parameters.slam
-    kp_cur = np.array([int(a) for a, _ in matches])
-    kp_adj = np.array([int(b) for _, b in matches])
+    matches = np.asarray(matches, np.int64).reshape(-1, 2)
+    kp_cur = matches[:, 0]
+    kp_adj = matches[:, 1]
     B = len(matches)
 
     # KfId order: the adjacent keyframe is always older than the current one
@@ -236,7 +252,7 @@ def create_new_map_points(current_keyframe: Keyframe,
         keyframe = map_db.keyframes[kf_id]
         matches = matcher.match_for_triangulation(current_keyframe, keyframe,
                                                  settings)
-        if not matches:
+        if len(matches) == 0:
             continue
         positions, ok = _batch_triangulate_pairs(current_keyframe, keyframe,
                                                  matches, settings)
@@ -245,13 +261,14 @@ def create_new_map_points(current_keyframe: Keyframe,
         # KfId: the adjacent keyframe is older); inline that medoid shortcut
         adj_full = keyframe.has_full_features
         cur_full = current_keyframe.has_full_features
-        for i, (kp_cur, kp_adj) in enumerate(matches):
+        for i, (kp_cur, kp_adj) in enumerate(matches.tolist()):
             # the reference allocates the id and creates the MapPoint before
             # the triangulation check, registering it only on success
             # (mapper_helpers.cpp:302-316) — keep the id sequence identical
             mp_id = map_db.next_mp_id()
             if not ok[i]:
                 continue
+            kp_cur, kp_adj = KpId(kp_cur), KpId(kp_adj)
             map_point = MapPoint(mp_id, keyframe.id, kp_adj)
             map_point.color = keyframe.get_keypoint_color(kp_adj)
             map_point.add_observation(current_keyframe.id, kp_cur)

@@ -94,12 +94,13 @@ def match_for_loop_closures(kf1: Keyframe, kf2: Keyframe, map_db1: MapDB,
 
 @timed
 def match_for_triangulation(kf1: Keyframe, kf2: Keyframe,
-                            settings: StaticSettings) -> List[Tuple[KpId, KpId]]:
-    """reference: keyframe_matcher.cpp:160-293 (matchForTriangulationDBoW)."""
+                            settings: StaticSettings) -> np.ndarray:
+    """reference: keyframe_matcher.cpp:160-293 (matchForTriangulationDBoW).
+    Returns an (B, 2) int64 array of (kf1 keypoint, kf2 keypoint) pairs."""
     n1 = kf1.shared.num_keypoints
     n2 = kf2.shared.num_keypoints
     if n1 == 0 or n2 == 0:
-        return []
+        return np.zeros((0, 2), np.int64)
     E12 = matching.create_E_21(
         kf2.pose_cw[:3, :3], kf2.pose_cw[:3, 3],
         kf1.pose_cw[:3, :3], kf1.pose_cw[:3, 3])
@@ -116,9 +117,10 @@ def match_for_triangulation(kf1: Keyframe, kf2: Keyframe,
         kf2.shared.descriptors, kf2.shared.groups, free2,
         kf2.shared.bearings, E12, HAMMING_DIST_THR_LOW)
     if matched is not None:
-        pairs = matching.apply_angle_check(matched, kf1.shared.angle,
-                                           kf2.shared.angle, as_pairs=True)
-        return [(KpId(a), KpId(b)) for a, b in pairs]
+        checked = matching.apply_angle_check(matched, kf1.shared.angle,
+                                             kf2.shared.angle)
+        sel = np.flatnonzero(checked >= 0)
+        return np.stack([sel, checked[sel]], axis=1)
     epi = matching.epipolar_inlier_matrix(
         kf1.shared.bearings, kf2.shared.bearings, E12, scale_1,
         settings.parameters.slam.epipolarCheckThresholdDegrees)
@@ -126,14 +128,20 @@ def match_for_triangulation(kf1: Keyframe, kf2: Keyframe,
     pairs = matching.match_for_triangulation(
         dist, kf1.shared.groups, kf2.shared.groups, free1, free2, epi,
         kf1.shared.angle, kf2.shared.angle)
-    return [(KpId(a), KpId(b)) for a, b in pairs]
+    return np.asarray(pairs, np.int64).reshape(-1, 2)
 
 
 @timed
 def search_by_projection(kf: Keyframe, mp_ids: List[MpId], map_db: MapDB,
-                         threshold: float, settings: StaticSettings) -> int:
+                         threshold: float, settings: StaticSettings,
+                         precomp=None) -> int:
     """Project local map points into the keyframe and claim unmatched
-    keypoints (reference: keyframe_matcher.cpp:295-414)."""
+    keypoints (reference: keyframe_matcher.cpp:295-414).
+
+    ``precomp``, when given, is (mps, pix, visible, d_all, cos_all,
+    min_d_all, max_d_all) for exactly ``mp_ids`` — the same columns this
+    function would derive itself (identical formulas/dtypes), handed over by
+    a caller that already computed them for its own gating."""
     if not mp_ids:
         return 0
     view_angle_limit_cos = 0.5
@@ -141,20 +149,22 @@ def search_by_projection(kf: Keyframe, mp_ids: List[MpId], map_db: MapDB,
     ref_scale = float(sf[len(sf) // 2])
     match_count = 0
 
-    mps = [map_db.map_points[m] for m in mp_ids]
-    positions = np.stack([mp.position for mp in mps])
-    pix, visible = kf.reproject_many(positions)
-    cam_center = kf.camera_center()
+    if precomp is None:
+        mps = [map_db.map_points[m] for m in mp_ids]
+        positions = np.stack([mp.position for mp in mps])
+        pix, visible = kf.reproject_many(positions)
+        cam_center = kf.camera_center()
+        # vectorized per-candidate geometry (identical math to scalar gates)
+        mp_to_kf_all = (cam_center - positions).astype(np.float32)
+        d_all = np.linalg.norm(mp_to_kf_all, axis=1)
+        norms_all = np.stack([mp.norm for mp in mps])
+        cos_all = (np.sum(mp_to_kf_all * norms_all, axis=1)
+                   / np.maximum(d_all, 1e-12))
+        max_d_all = np.array([mp.max_viewing_distance for mp in mps])
+        min_d_all = np.array([mp.min_viewing_distance for mp in mps])
+    else:
+        mps, pix, visible, d_all, cos_all, min_d_all, max_d_all = precomp
     mp_descs = np.stack([mp.descriptor for mp in mps])
-
-    # vectorized per-candidate geometry (identical math to the scalar gates)
-    mp_to_kf_all = (cam_center - positions).astype(np.float32)
-    d_all = np.linalg.norm(mp_to_kf_all, axis=1)
-    norms_all = np.stack([mp.norm for mp in mps])
-    cos_all = (np.sum(mp_to_kf_all * norms_all, axis=1)
-               / np.maximum(d_all, 1e-12))
-    max_d_all = np.array([mp.max_viewing_distance for mp in mps])
-    min_d_all = np.array([mp.min_viewing_distance for mp in mps])
     pred_all = MapPoint.predict_scale_levels(
         np.maximum(max_d_all, 1e-12), np.maximum(d_all, 1e-12), settings)
 
@@ -254,11 +264,17 @@ class _MpColumnCache:
             mps = [self.map_db.map_points.get(m) for m in mp_ids]
             self.mps = mps
             n = len(mps)
+            self.vals = np.fromiter((int(m) for m in mp_ids), np.int64, n)
             self.positions = np.zeros((n, 3))
             self.norms = np.zeros((n, 3), np.float32)
             self.descs = np.zeros((n, 8), np.uint32)
             self.max_d = np.zeros(n)
             self.min_d = np.zeros(n)
+            # build-time status gate: statuses only move BAD-ward during a
+            # dedup pass (merges), so this stays a SUPERSET of the rows the
+            # at-call scalar check would pass — the merge loop's mutable
+            # rechecks make over-inclusion harmless
+            self.status_ok = np.zeros(n, bool)
             for k, mp in enumerate(mps):
                 if mp is None:
                     continue
@@ -267,6 +283,8 @@ class _MpColumnCache:
                 self.descs[k] = mp.descriptor
                 self.max_d[k] = mp.max_viewing_distance
                 self.min_d[k] = mp.min_viewing_distance
+                self.status_ok[k] = mp.status not in (
+                    MapPointStatus.BAD, MapPointStatus.NOT_TRIANGULATED)
         return self
 
 
@@ -287,13 +305,15 @@ def replace_duplication(kf: Keyframe, mp_ids: Iterable[MpId], margin: float,
     mp_ids = list(mp_ids)
     cols = (cache if cache is not None else _MpColumnCache(map_db)).lookup(
         mp_ids, key=cache_key)
-    rows = [k for k, mp in enumerate(cols.mps)
-            if mp is not None and int(mp_ids[k]) >= 0
-            and kf.id not in mp.observations
-            and mp.status not in (MapPointStatus.BAD,
-                                  MapPointStatus.NOT_TRIANGULATED)]
-    alive = [(mp_ids[k], cols.mps[k]) for k in rows]
-    if not alive:
+    # candidate rows, fully vectorized: build-time status gate (a safe
+    # superset, see _MpColumnCache) and "not already observed in kf" via the
+    # keyframe-side membership (kf.map_points[kp] == mp.id <=> kf.id in
+    # mp.observations, the audited link invariant); the merge loop rechecks
+    # every mutable condition per row
+    kf_vals = kf.map_points
+    rows = np.flatnonzero(cols.status_ok & (cols.vals >= 0)
+                          & ~np.isin(cols.vals, kf_vals[kf_vals >= 0]))
+    if len(rows) == 0:
         return 0
     positions = cols.positions[rows]
     pix_all, in_image_all = kf.reproject_many(positions)
@@ -339,10 +359,13 @@ def replace_duplication(kf: Keyframe, mp_ids: Iterable[MpId], margin: float,
                          & (bi_all >= 0) & (bd_all <= HAMMING_DIST_THR_LOW))
         iter_rows = np.flatnonzero(static_ok)
     else:
-        iter_rows = range(len(alive))
+        iter_rows = range(len(rows))
 
     for k in iter_rows:
-        mp_id, mp = alive[k]
+        src = rows[k]
+        mp_id, mp = mp_ids[src], cols.mps[src]
+        if mp is None:
+            continue
         if mp_id in erased or mp.id not in map_db.map_points:
             continue
         # re-check mutable state: an earlier merge may have linked this map

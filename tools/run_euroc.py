@@ -81,6 +81,16 @@ def load_odometry_csv(path):
     return rows[:, 0], rows[:, 1:4], rows[:, 4:8]  # t, p, q(xyzw)
 
 
+def ate_rmse(est_rows: np.ndarray, gt) -> float:
+    """Translation-aligned ATE RMSE of trajectory rows (t,x,y,z,...) against
+    the (t, p, q) ground-truth tuple."""
+    ts, ps, _ = gt
+    idx = np.clip(np.searchsorted(ts, est_rows[:, 0]), 0, len(ts) - 1)
+    err = est_rows[:, 1:4] - ps[idx]
+    err = err - err.mean(axis=0)  # alignment: translation only
+    return float(np.sqrt((err ** 2).sum(axis=1).mean()))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("seq_dir")
@@ -149,11 +159,7 @@ def main():
     if gt is not None:
         est = np.genfromtxt(args.out, delimiter=",")
         if est.ndim == 2 and len(est):
-            ts, ps, _ = gt
-            idx = np.clip(np.searchsorted(ts, est[:, 0]), 0, len(ts) - 1)
-            err = est[:, 1:4] - ps[idx]
-            err = err - err.mean(axis=0)  # alignment: translation only
-            ate = float(np.sqrt((err ** 2).sum(axis=1).mean()))
+            ate = ate_rmse(est, gt)
             print(f"ATE RMSE (translation-aligned): {ate:.4f} m over {len(est)} keyframes")
 
 
