@@ -96,15 +96,17 @@ def _prewarm_ba_buckets(settings, max_mps=1024, max_obs=4096):
                 E, P = p.pe_a.shape[0], p.pr_idx.shape[0]
                 cg = ba.pick_cg_iters(K, M)
                 f32, i32, b8 = ba.pack_problem(jax.tree.map(np.asarray, p))
-                ba.solve_ba_packed(f32, i32, b8, K, M, O, E, P,
-                                   iterations=10, cg_iters=cg)
-                ba.solve_ba_packed(f32, i32, b8, K, M, O, E, P,
-                                   iterations=iters, cg_iters=cg)
+                buf = ba.fuse_packed(f32, i32, b8)
+                ba.solve_ba_fused(buf, K, M, O, E, P,
+                                  iterations=10, cg_iters=cg)
+                ba.solve_ba_fused(buf, K, M, O, E, P,
+                                  iterations=iters, cg_iters=cg)
                 f32x = np.concatenate([f32, np.zeros(36, np.float32)])
                 i32x = np.concatenate([i32, np.zeros(1, np.int32)])
                 b8x = np.concatenate([b8, np.zeros(K, bool)])
-                ba.solve_ba_two_stage_packed(f32x, i32x, b8x, K, M, O, E, P,
-                                             iterations=iters, cg_iters=cg)
+                ba.solve_ba_two_stage_fused(
+                    ba.fuse_packed(f32x, i32x, b8x), K, M, O, E, P,
+                    iterations=iters, cg_iters=cg)
 
 
 def bench_pipeline(n_frames=36, n_passes=2):

@@ -354,6 +354,38 @@ def pack_problem(p: BAProblem):
     return f32, i32, b8
 
 
+def _counts(K, M, O, E, P, two_stage: bool):
+    """(f32, i32, b8) element counts of a packed problem (+two-stage extras)."""
+    nf = 16 * K + 3 * M + 3 * O + 52 * E + 52 * P + (36 if two_stage else 0)
+    ni = 2 * O + 2 * E + P + (1 if two_stage else 0)
+    nb = K + M + O + E + P + (K if two_stage else 0)
+    return nf, ni, nb
+
+
+def fuse_packed(f32, i32, b8) -> np.ndarray:
+    """Fuse the three packed host buffers into ONE uint32 transfer buffer
+    (floats/ints bit-cast, bools byte-packed little-endian). One device put
+    instead of three — puts cost milliseconds each on tunnel-attached TPUs."""
+    nb = len(b8)
+    b8u = np.zeros(((nb + 3) // 4) * 4, np.uint8)
+    b8u[:nb] = np.asarray(b8, np.uint8)
+    return np.concatenate([
+        np.ascontiguousarray(f32, np.float32).view(np.uint32),
+        np.ascontiguousarray(i32, np.int32).view(np.uint32),
+        b8u.view(np.uint32)])
+
+
+def _unfuse(buf, K, M, O, E, P, two_stage: bool):
+    """In-jit inverse of fuse_packed (bitcasts only, no data movement)."""
+    nf, ni, nb = _counts(K, M, O, E, P, two_stage)
+    f32 = jax.lax.bitcast_convert_type(buf[:nf], jnp.float32)
+    i32 = jax.lax.bitcast_convert_type(buf[nf:nf + ni], jnp.int32)
+    nbw = (nb + 3) // 4
+    b8 = jax.lax.bitcast_convert_type(
+        buf[nf + ni:nf + ni + nbw], jnp.uint8).reshape(-1)[:nb] != 0
+    return f32, i32, b8
+
+
 def _unpack_problem(f32, i32, b8, K, M, O, E, P) -> BAProblem:
     fo = [0]
     def f(n, shape):
@@ -403,6 +435,44 @@ def solve_ba_two_stage_packed(
     """Packed two-stage solve. The pack carries three extras appended by the
     caller: anchor_sqrt_info (36 f32 at the end of f32), anchor_slot (1 i32
     at the end of i32), stage2_pose_fixed (K bool at the end of b8)."""
+    p = _unpack_problem(f32, i32, b8, K, M, O, E, P)
+    anchor_sqrt_info = f32[-36:].reshape(6, 6)
+    anchor_slot = i32[-1]
+    stage2_fixed = b8[-K:]
+    res1 = _lm_run(p, iterations, cg_iters, huber_delta, init_lambda)
+    anchor_pose = res1.poses[anchor_slot]
+    p2 = p._replace(
+        poses=res1.poses,
+        points=res1.points,
+        pose_fixed=stage2_fixed,
+        pr_idx=anchor_slot[None].astype(jnp.int32),
+        pr_meas=anchor_pose[None],
+        pr_sqrt_info=anchor_sqrt_info[None],
+        pr_valid=jnp.ones((1,), bool))
+    return _lm_run(p2, iterations, cg_iters, huber_delta, init_lambda)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "M", "O", "E", "P",
+                                             "iterations", "cg_iters"))
+def solve_ba_fused(buf, K: int, M: int, O: int, E: int, P: int,
+                   iterations: int, cg_iters: int,
+                   huber_delta: float = float(np.sqrt(CHI2_THRESHOLD)),
+                   init_lambda: float = 1e-4) -> BAResult:
+    """solve_ba_packed over ONE fused uint32 buffer (see fuse_packed)."""
+    f32, i32, b8 = _unfuse(buf, K, M, O, E, P, two_stage=False)
+    p = _unpack_problem(f32, i32, b8, K, M, O, E, P)
+    return _lm_run(p, iterations, cg_iters, huber_delta, init_lambda)
+
+
+@functools.partial(jax.jit, static_argnames=("K", "M", "O", "E", "P",
+                                             "iterations", "cg_iters"))
+def solve_ba_two_stage_fused(
+        buf, K: int, M: int, O: int, E: int, P: int,
+        iterations: int, cg_iters: int,
+        huber_delta: float = float(np.sqrt(CHI2_THRESHOLD)),
+        init_lambda: float = 1e-4) -> BAResult:
+    """solve_ba_two_stage_packed over ONE fused uint32 buffer."""
+    f32, i32, b8 = _unfuse(buf, K, M, O, E, P, two_stage=True)
     p = _unpack_problem(f32, i32, b8, K, M, O, E, P)
     anchor_sqrt_info = f32[-36:].reshape(6, 6)
     anchor_slot = i32[-1]

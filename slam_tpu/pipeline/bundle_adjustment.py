@@ -296,9 +296,10 @@ class _ProblemBuilder:
                    problem.pr_idx.shape[0])
         cg = ba.pick_cg_iters(K, M)
         f32, i32, b8 = ba.pack_problem(problem)
-        result = ba.solve_ba_packed(f32, i32, b8, K, M, O, E, P,
-                                    iterations=int(iterations),
-                                    cg_iters=int(cg))
+        result = ba.solve_ba_fused(ba.fuse_packed(f32, i32, b8),
+                                   K, M, O, E, P,
+                                   iterations=int(iterations),
+                                   cg_iters=int(cg))
         _start_host_copy(result)
         return result
 
@@ -492,27 +493,29 @@ def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
         stage2_fixed = np.ones(K, bool)
         stage2_fixed[:len(builder.kf_ids)] = False
         f32, i32, b8 = ba.pack_problem(problem)
-        # two-stage extras ride at the ends of the packed buffers
+        # two-stage extras ride at the ends of the packed buffers; the three
+        # buffers fuse into ONE device put (puts cost ms each on the tunnel)
         f32 = np.concatenate(
             [f32, _sqrt_info(anchor_info).ravel().astype(np.float32)])
         i32 = np.concatenate(
             [i32, np.asarray([builder.kf_slot[keyframe.id]], np.int32)])
         b8 = np.concatenate([b8, stage2_fixed])
+        buf = ba.fuse_packed(f32, i32, b8)
     cg = ba.pick_cg_iters(K, M)
     import jax
     workspace.ba_stats.update(Ba.LOCAL)
     if defer:
         with section("ba_dispatch_deferred"):
-            device_result = ba.solve_ba_two_stage_packed(
-                f32, i32, b8, K, M, O, E, P,
+            device_result = ba.solve_ba_two_stage_fused(
+                buf, K, M, O, E, P,
                 iterations=int(iterations), cg_iters=int(cg))
             _start_host_copy(device_result)
         workspace.pending = PendingLocalBA(device_result, builder, keyframe.id,
                                            list(adjacent_kf_ids or []), Ba.LOCAL)
         return True
     with section("ba_solve_device"):
-        result = ba.BAResult(*jax.device_get(ba.solve_ba_two_stage_packed(
-            f32, i32, b8, K, M, O, E, P,
+        result = ba.BAResult(*jax.device_get(ba.solve_ba_two_stage_fused(
+            buf, K, M, O, E, P,
             iterations=int(iterations), cg_iters=int(cg))))
 
     with section("ba_apply"):

@@ -226,3 +226,31 @@ class TestPackedSolve:
                                    np.asarray(want.poses), atol=1e-6)
         np.testing.assert_allclose(np.asarray(got.points),
                                    np.asarray(want.points), atol=1e-6)
+        # the single-buffer fused entry must reproduce the packed solve
+        # bit-for-bit (bitcasts only, no value changes)
+        fused = jax.device_get(ba.solve_ba_two_stage_fused(
+            ba.fuse_packed(f32, i32, b8), K, M, O, E, P,
+            iterations=3, cg_iters=0))
+        np.testing.assert_array_equal(np.asarray(fused.poses),
+                                      np.asarray(got.poses))
+        np.testing.assert_array_equal(np.asarray(fused.points),
+                                      np.asarray(got.points))
+
+    def test_fused_matches_packed(self):
+        import jax
+        problem, _, _ = make_problem()
+        K, M = problem.poses.shape[0], problem.points.shape[0]
+        O, E, P = (problem.obs_kf.shape[0], problem.pe_a.shape[0],
+                   problem.pr_idx.shape[0])
+        f32, i32, b8 = ba.pack_problem(jax.tree.map(np.asarray, problem))
+        want = jax.device_get(ba.solve_ba_packed(f32, i32, b8, K, M, O, E, P,
+                                                 iterations=4, cg_iters=0))
+        got = jax.device_get(ba.solve_ba_fused(
+            ba.fuse_packed(f32, i32, b8), K, M, O, E, P,
+            iterations=4, cg_iters=0))
+        np.testing.assert_array_equal(np.asarray(got.poses),
+                                      np.asarray(want.poses))
+        np.testing.assert_array_equal(np.asarray(got.points),
+                                      np.asarray(want.points))
+        np.testing.assert_array_equal(np.asarray(got.obs_chi2),
+                                      np.asarray(want.obs_chi2))
