@@ -152,6 +152,20 @@ class OrbExtractor:
                       int(getattr(p, "bowVocabularySize", 0)))
         self.num_slots = max_tracked + sum(budgets)
         self._pending = {}
+        # device copies of the packed tracked-point buffers, reused while the
+        # contents are unchanged (every device put costs ms on the tunnel;
+        # with no LK tracks the buffers are identical every frame)
+        self._dev_tracked_key = None
+        self._dev_txy = None
+        self._dev_tvalid = None
+
+    def _tracked_device(self, txy: np.ndarray, tvalid: np.ndarray):
+        key = (txy.tobytes(), tvalid.tobytes())
+        if key != self._dev_tracked_key:
+            self._dev_tracked_key = key
+            self._dev_txy = jnp.asarray(txy)
+            self._dev_tvalid = jnp.asarray(tvalid)
+        return self._dev_txy, self._dev_tvalid
 
     def _pack_tracked(self, tracked_xy, track_ids):
         kt = self.max_tracked
@@ -176,8 +190,8 @@ class OrbExtractor:
         the current frame. ``detect_and_extract(..., key=...)`` collects it.
         """
         txy, tvalid, tids = self._pack_tracked(tracked_xy, track_ids)
-        out = _extract_impl(jnp.asarray(image), jnp.asarray(txy),
-                            jnp.asarray(tvalid), self._spec)
+        d_txy, d_tvalid = self._tracked_device(txy, tvalid)
+        out = _extract_impl(jnp.asarray(image), d_txy, d_tvalid, self._spec)
         # start the device->host copy as soon as the computation finishes so
         # the later collect's device_get is (nearly) free — on tunnel-attached
         # TPUs this hides the full ~30 ms round trip behind host work
@@ -203,8 +217,8 @@ class OrbExtractor:
             out, tids = pending
         else:
             txy, tvalid, tids = self._pack_tracked(tracked_xy, track_ids)
-            out = _extract_impl(jnp.asarray(image), jnp.asarray(txy),
-                                jnp.asarray(tvalid), self._spec)
+            d_txy, d_tvalid = self._tracked_device(txy, tvalid)
+            out = _extract_impl(jnp.asarray(image), d_txy, d_tvalid, self._spec)
         pts, octv, ang, desc, valid, words = jax.device_get(out)
         return FrontendResult(np.asarray(pts), np.asarray(octv), np.asarray(ang),
                               np.asarray(desc), np.asarray(valid), tids,

@@ -191,6 +191,24 @@ class TestOrbExtractorEndToEnd:
         assert np.array_equal(r1.descriptors, r2.descriptors)
         assert np.array_equal(r1.pts, r2.pts)
 
+    def test_tracked_device_buffer_memoization(self):
+        """The device copies of the packed tracked-point buffers are reused
+        while the contents repeat and refreshed when they change, without
+        affecting the extraction results."""
+        img = random_image(240, 320)
+        settings = StaticSettings(Parameters(slam=ParametersSlam(maxKeypoints=200)))
+        ex = OrbExtractor(settings, 320, 240, max_tracked=8)
+        t1 = np.array([[100.0, 100.0], [200.0, 150.0]])
+        r1 = ex.detect_and_extract(img, t1, np.array([1, 2]))
+        buf1 = ex._dev_txy
+        r2 = ex.detect_and_extract(img, t1.copy(), np.array([1, 2]))
+        assert ex._dev_txy is buf1  # same contents -> same device buffer
+        assert np.array_equal(r1.descriptors, r2.descriptors)
+        t2 = np.array([[120.0, 90.0], [210.0, 160.0]])
+        r3 = ex.detect_and_extract(img, t2, np.array([1, 2]))
+        assert ex._dev_txy is not buf1  # changed contents -> fresh upload
+        assert np.allclose(r3.pts[:2], t2)
+
 
 class TestDeviceBowWords:
     def test_fused_words_match_host_quantize(self):
