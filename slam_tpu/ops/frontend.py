@@ -219,6 +219,13 @@ class OrbExtractor:
             txy, tvalid, tids = self._pack_tracked(tracked_xy, track_ids)
             d_txy, d_tvalid = self._tracked_device(txy, tvalid)
             out = _extract_impl(jnp.asarray(image), d_txy, d_tvalid, self._spec)
+            # start the host copy NOW: a device_get that has to initiate the
+            # copy itself pays a full protocol round trip on top of compute
+            for leaf in jax.tree_util.tree_leaves(out):
+                try:
+                    leaf.copy_to_host_async()
+                except Exception:
+                    break
         pts, octv, ang, desc, valid, words = jax.device_get(out)
         return FrontendResult(np.asarray(pts), np.asarray(octv), np.asarray(ang),
                               np.asarray(desc), np.asarray(valid), tids,

@@ -571,17 +571,17 @@ def triangulate_map_points(map_db: MapDB, mps, settings: StaticSettings,
     if not metas:
         return
 
-    rows_pt, rows_kf, rows_kp = [], [], []
-    for i, (mp, obs) in enumerate(metas):
-        for kf_id, kp_id in obs:
-            rows_pt.append(i)
-            rows_kf.append(kf_id)
-            rows_kp.append(int(kp_id))
-    R = len(rows_pt)
+    rows_kf, rows_kp, n_obs_list = [], [], []
+    for mp, obs in metas:
+        ks, kps = zip(*obs)
+        rows_kf.extend(ks)
+        rows_kp.extend(kps)
+        n_obs_list.append(len(obs))
+    R = len(rows_kf)
     P = len(metas)
-    rows_pt = np.asarray(rows_pt, np.int64)
-    rows_kp_arr = np.asarray(rows_kp, np.int64)
-    n_obs = np.bincount(rows_pt, minlength=P)
+    n_obs = np.asarray(n_obs_list, np.int64)
+    rows_pt = np.repeat(np.arange(P, dtype=np.int64), n_obs)
+    rows_kp_arr = np.fromiter(rows_kp, np.int64, R)
 
     rays = np.zeros((R, 3))
     depth = np.zeros(R)
@@ -591,12 +591,16 @@ def triangulate_map_points(map_db: MapDB, mps, settings: StaticSettings,
     octv = np.zeros(R, np.int64)
     pts2d = np.zeros((R, 2))
     rel = np.zeros(R)
-    groups: dict = {}
-    for r, kf_id in enumerate(rows_kf):
-        groups.setdefault(kf_id, []).append(r)
-    for kf_id, rs_list in groups.items():
+    # group observation rows by keyframe with one stable argsort (the group
+    # loops below gather per keyframe; order within a group is irrelevant)
+    rows_kf_arr = np.fromiter(rows_kf, np.int64, R)
+    order = np.argsort(rows_kf_arr, kind="stable")
+    sorted_kf = rows_kf_arr[order]
+    cuts = np.flatnonzero(np.diff(sorted_kf)) + 1
+    groups = [(KfId(int(rows_kf_arr[part[0]])), part)
+              for part in np.split(order, cuts)]
+    for kf_id, rs in groups:
         kf = map_db.keyframes[kf_id]
-        rs = np.asarray(rs_list)
         kps = rows_kp_arr[rs]
         rays[rs] = kf.shared.bearings[kps] @ kf.camera_to_world_rotation().T
         depth[rs] = kf.keypoint_depth[kps]
@@ -700,9 +704,8 @@ def triangulate_map_points(map_db: MapDB, mps, settings: StaticSettings,
     z = np.einsum("rj,rj->r", pose_rows[:, 2, :3], Xr) + pose_rows[:, 2, 3]
     repro_ok = np.zeros(R, bool)
     err = np.zeros(R)
-    for kf_id, rs_list in groups.items():
+    for kf_id, rs in groups:
         kf = map_db.keyframes[kf_id]
-        rs = np.asarray(rs_list)
         pix, okv = kf.reproject_many(X[rows_pt[rs]])
         err[rs] = np.sum((pix - pts2d[rs]) ** 2, axis=1)
         repro_ok[rs] = okv
