@@ -13,7 +13,7 @@ kernels in `slam_tpu/ops`.
 from __future__ import annotations
 
 import math
-from typing import Callable, Dict, List, Optional, Set, Tuple
+from typing import Callable, Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -307,14 +307,13 @@ def deduplicate_map_points(current_keyframe: Keyframe,
             mp_ids = [MpId(int(v)) for v in sel]
         matcher.replace_duplication(adjacent, mp_ids, margin, map_db, settings,
                                     cache=cache, cache_key=key)
-    adjacent_mps: Set[MpId] = set()
-    for kf_id in adjacent_kf_ids:
-        adjacent = map_db.keyframes[kf_id]
-        for mp_val in adjacent.map_points:
-            if mp_val >= 0:
-                adjacent_mps.add(MpId(int(mp_val)))
-    matcher.replace_duplication(current_keyframe, sorted(adjacent_mps), margin,
-                                map_db, settings)
+    if adjacent_kf_ids:
+        allv = np.concatenate([map_db.keyframes[k].map_points
+                               for k in adjacent_kf_ids])
+        adjacent_vals = np.unique(allv[allv >= 0])  # sorted unique ids
+        matcher.replace_duplication(
+            current_keyframe, [MpId(int(v)) for v in adjacent_vals], margin,
+            map_db, settings)
 
 
 @timed
