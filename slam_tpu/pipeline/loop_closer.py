@@ -167,11 +167,9 @@ class LoopCloser:
                 self.stats.update(Loop.UNNECESSARY)
                 continue
 
-            U = sim3.to_se3()
-            R = ((U @ candidate_kf.pose_cw).T[:3, :3]
-                 @ np.linalg.inv(current_kf.pose_cw)[:3, :3])
-            angle_change = float(np.linalg.norm(se3.so3_log(
-                _closest_rotation(R))))
+            angle_change = drift_gate_angle(sim3.to_se3(),
+                                            candidate_kf.pose_cw,
+                                            current_kf.pose_cw)
 
             distance_traveled = 0.0
             curr = current_kf.id
@@ -385,6 +383,22 @@ class LoopCloser:
             if kf is not None:
                 matcher.replace_duplication(kf, sorted(loop_map_points), 4,
                                             map_db, self.settings)
+
+
+def drift_gate_angle(U: np.ndarray, cand_pose_cw: np.ndarray,
+                     curr_pose_cw: np.ndarray) -> float:
+    """Drift angle of a loop-closure correction.
+
+    The relative rotation between the candidate-implied pose of the current
+    keyframe and its actual pose (reference: loop_closer.cpp:306-309,
+    ``R = (U*candPose).inverse().topLeft().transpose()
+    * currPose.inverse().topLeft()``). For a genuine small correction this is
+    near identity regardless of the absolute orientation; ``U`` may carry a
+    Sim3 scale in its rotation block, which the polar projection removes.
+    """
+    R = (np.linalg.inv(U @ cand_pose_cw)[:3, :3].T
+         @ np.linalg.inv(curr_pose_cw)[:3, :3])
+    return float(np.linalg.norm(se3.so3_log(_closest_rotation(R))))
 
 
 def _closest_rotation(R: np.ndarray) -> np.ndarray:

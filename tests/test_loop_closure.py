@@ -4,6 +4,7 @@ import pytest
 
 from slam_tpu.geometry import se3
 from slam_tpu.params import Parameters, ParametersSlam
+from slam_tpu.pipeline.loop_closer import drift_gate_angle
 from slam_tpu.pipeline.mapper import Mapper
 from slam_tpu.pipeline.mapper_helpers import check_consistency
 
@@ -12,6 +13,10 @@ from synthetic_world import (FakeOrbExtractor, TrackSimulator,
 
 
 def loop_params(**overrides):
+    # NOTE: the maximumDrift* acceptance gates are deliberately left at their
+    # defaults (0.05 m, 0.01 rad per second/traveled-meter) — the e2e loop
+    # must close without loosening them (regression for the transposed
+    # drift-angle composition, reference loop_closer.cpp:306-309).
     base = dict(
         keyframeDecisionMinIntervalSeconds=0.0,
         keyframeDecisionCovisibilityRatio=0.95,
@@ -22,13 +27,67 @@ def loop_params(**overrides):
         minLoopClosureFeatureMatches=15,
         loopClosureRansacMinInliers=12,
         loopClosureRansacIterations=100,
-        maximumDriftMetersPerSecond=0.2,
-        maximumDriftMetersPerTraveled=0.2,
-        maximumDriftRadiansPerSecond=0.2,
-        maximumDriftRadiansPerTraveled=0.2,
     )
     base.update(overrides)
     return Parameters(slam=ParametersSlam(**base))
+
+
+def _rot(axis, angle):
+    axis = np.asarray(axis, float)
+    return se3.so3_exp(angle * axis / np.linalg.norm(axis))
+
+
+class TestDriftGateAngle:
+    """The drift-angle gate must measure the CORRECTION rotation, not a
+    composition contaminated by the absolute orientation
+    (reference: loop_closer.cpp:306-309)."""
+
+    def _poses_far_from_identity(self):
+        # current KF deep into a trajectory, orientation far from identity
+        R_abs = _rot([0.2, 1.0, 0.3], 2.1)
+        curr = np.eye(4)
+        curr[:3, :3] = R_abs
+        curr[:3, 3] = [4.0, -1.0, 7.0]
+        cand = np.eye(4)
+        cand[:3, :3] = _rot([1.0, 0.1, -0.4], 1.7)
+        cand[:3, 3] = [3.8, -0.9, 7.2]
+        return cand, curr
+
+    def _U_for_correction(self, cand, curr, delta_angle):
+        # corrected current pose = small-delta ∘ actual current pose
+        delta = np.eye(4)
+        delta[:3, :3] = _rot([0.5, -0.2, 1.0], delta_angle)
+        corrected_curr = delta @ curr
+        return corrected_curr @ np.linalg.inv(cand)
+
+    def test_small_true_correction_accepted(self):
+        cand, curr = self._poses_far_from_identity()
+        for delta in (0.0, 0.005, 0.027):
+            U = self._U_for_correction(cand, curr, delta)
+            angle = drift_gate_angle(U, cand, curr)
+            assert abs(angle - delta) < 1e-9, (delta, angle)
+        # default gates: 0.027 rad over 10 s / 10 m traveled passes
+        p = ParametersSlam()
+        angle = drift_gate_angle(self._U_for_correction(cand, curr, 0.027),
+                                 cand, curr)
+        assert angle / 10.0 <= p.maximumDriftRadiansPerSecond
+        assert angle / 10.0 <= p.maximumDriftRadiansPerTraveled
+
+    def test_large_correction_rejected(self):
+        cand, curr = self._poses_far_from_identity()
+        U = self._U_for_correction(cand, curr, 0.5)
+        angle = drift_gate_angle(U, cand, curr)
+        assert abs(angle - 0.5) < 1e-9
+        p = ParametersSlam()
+        assert angle / 10.0 > p.maximumDriftRadiansPerSecond
+
+    def test_sim3_scale_does_not_pollute_angle(self):
+        cand, curr = self._poses_far_from_identity()
+        U = self._U_for_correction(cand, curr, 0.01)
+        U_scaled = U.copy()
+        U_scaled[:3, :3] *= 1.07  # Sim3 scale in the rotation block
+        angle = drift_gate_angle(U_scaled, cand, curr)
+        assert abs(angle - 0.01) < 1e-6
 
 
 @pytest.mark.slow
