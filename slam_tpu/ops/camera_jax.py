@@ -63,3 +63,45 @@ def project(kind: str, params, pts):
         raise ValueError(kind)
     valid = valid & (u >= 0) & (v >= 0) & (u < w) & (v < h)
     return jnp.stack([u, v], axis=-1), valid
+
+
+def unproject(kind: str, params, pix):
+    """(..., 2) pixels -> (..., 3) unit bearing vectors, on device.
+
+    Inverse of :func:`project` for use inside fully-jitted steps (the host
+    pipeline uses the iterative `geometry/camera.py` undistortion). Pinhole
+    distortion is inverted with a few fixed-point iterations (exact for
+    k1=k2=p1=p2=0); Kannala-Brandt inverts theta_d -> theta by Newton steps.
+    """
+    fx, fy, cx, cy = (params[i] for i in range(4))
+    u, v = pix[..., 0], pix[..., 1]
+    xn = (u - cx) / fx
+    yn = (v - cy) / fy
+    if kind == "pinhole":
+        k1, k2, p1, p2 = (params[i] for i in range(6, 10))
+        x, y = xn, yn
+        for _ in range(5):  # fixed-point undistortion
+            r2 = x * x + y * y
+            radial = 1.0 + k1 * r2 + k2 * r2 * r2
+            dx = 2.0 * p1 * x * y + p2 * (r2 + 2.0 * x * x)
+            dy = p1 * (r2 + 2.0 * y * y) + 2.0 * p2 * x * y
+            x = (xn - dx) / radial
+            y = (yn - dy) / radial
+        b = jnp.stack([x, y, jnp.ones_like(x)], axis=-1)
+    elif kind == "kannala_brandt":
+        k1, k2, k3, k4 = (params[i] for i in range(6, 10))
+        theta_d = jnp.hypot(xn, yn)
+        theta = theta_d
+        for _ in range(5):  # Newton: f(t) = t(1 + k1 t^2 + ...) - theta_d
+            t2 = theta * theta
+            f = theta * (1.0 + t2 * (k1 + t2 * (k2 + t2 * (k3 + t2 * k4)))) - theta_d
+            df = (1.0 + t2 * (3.0 * k1 + t2 * (5.0 * k2
+                  + t2 * (7.0 * k3 + t2 * 9.0 * k4))))
+            theta = theta - f / jnp.maximum(df, 1e-6)
+        scale = jnp.where(theta_d > 1e-12,
+                          jnp.sin(theta) / jnp.maximum(theta_d, 1e-12), 1.0)
+        b = jnp.stack([xn * scale, yn * scale,
+                       jnp.cos(theta) * jnp.ones_like(xn)], axis=-1)
+    else:
+        raise ValueError(kind)
+    return b / jnp.maximum(jnp.linalg.norm(b, axis=-1, keepdims=True), 1e-12)

@@ -105,13 +105,13 @@ class Sim3RansacResult(NamedTuple):
     num_inliers: int
 
 
-@functools.partial(jax.jit, static_argnames=("kind1", "kind2", "dof", "fix_scale", "iterations"))
-def _sim3_ransac_impl(seed, pts1, pts2, valid, repro1, repro2, vis1, vis2,
+def _sim3_ransac_core(keys, pts1, pts2, valid, repro1, repro2, vis1, vis2,
                       chi1, chi2, params1, params2,
-                      kind1, kind2, dof, fix_scale, iterations):
+                      kind1, kind2, dof, fix_scale):
+    """Hypothesis bank from explicit ``keys`` (K, 2): the shared core of the
+    single-chip jitted entry below and the sharded multi-chip step (which
+    shards the hypothesis axis over the ``hyp`` mesh axis)."""
     n = pts1.shape[0]
-    key = jax.random.PRNGKey(seed)
-    keys = jax.random.split(key, iterations)
 
     def sample(k):
         # 3 distinct indices among the valid matches: sample by perturbed
@@ -147,6 +147,16 @@ def _sim3_ransac_impl(seed, pts1, pts2, valid, repro1, repro2, vis1, vis2,
     counts = jnp.sum(ok, axis=1)                     # (K,)
     best = jnp.argmax(counts)
     return (counts[best], R12[best], t12[best], s12[best], ok[best])
+
+
+@functools.partial(jax.jit, static_argnames=("kind1", "kind2", "dof", "fix_scale", "iterations"))
+def _sim3_ransac_impl(seed, pts1, pts2, valid, repro1, repro2, vis1, vis2,
+                      chi1, chi2, params1, params2,
+                      kind1, kind2, dof, fix_scale, iterations):
+    keys = jax.random.split(jax.random.PRNGKey(seed), iterations)
+    return _sim3_ransac_core(keys, pts1, pts2, valid, repro1, repro2,
+                             vis1, vis2, chi1, chi2, params1, params2,
+                             kind1, kind2, dof, fix_scale)
 
 
 class Sim3Ransac:
@@ -227,11 +237,10 @@ def _essential_residuals(E_21, b1, b2):
 ESSENTIAL_RESIDUAL_COS_THR = 0.01745240643  # 1 degree, essential_solver.cc:174
 
 
-@functools.partial(jax.jit, static_argnames=("iterations",))
-def _essential_ransac_impl(seed, b1, b2, valid, iterations):
+def _essential_ransac_core(keys, b1, b2, valid):
+    """Hypothesis bank from explicit ``keys`` (K, 2); shared by the jitted
+    single-chip entry and the sharded multi-chip step."""
     n = b1.shape[0]
-    key = jax.random.PRNGKey(seed)
-    keys = jax.random.split(key, iterations)
     p = valid.astype(jnp.float32)
     p = p / jnp.sum(p)
 
@@ -250,6 +259,69 @@ def _essential_ransac_impl(seed, b1, b2, valid, iterations):
     scores, inliers = jax.vmap(score)(Es)
     best = jnp.argmax(scores)
     return Es[best], scores[best], inliers[best]
+
+
+@functools.partial(jax.jit, static_argnames=("iterations",))
+def _essential_ransac_impl(seed, b1, b2, valid, iterations):
+    keys = jax.random.split(jax.random.PRNGKey(seed), iterations)
+    return _essential_ransac_core(keys, b1, b2, valid)
+
+
+def decompose_E_jax(E_21):
+    """E -> the 4 candidate (R, t) pairs, on device (reference:
+    essential_solver.cc:120-147; device twin of :func:`decompose_E`)."""
+    U, _, Vt = jnp.linalg.svd(E_21)
+    t = U[:, 2]
+    t = t / jnp.maximum(jnp.linalg.norm(t), 1e-12)
+    W = jnp.asarray([[0.0, -1.0, 0.0], [1.0, 0.0, 0.0], [0.0, 0.0, 1.0]],
+                    E_21.dtype)
+    R1 = U @ W @ Vt
+    R1 = jnp.where(jnp.linalg.det(R1) < 0, -R1, R1)
+    R2 = U @ W.T @ Vt
+    R2 = jnp.where(jnp.linalg.det(R2) < 0, -R2, R2)
+    Rs = jnp.stack([R1, R1, R2, R2])
+    ts = jnp.stack([t, -t, t, -t])
+    return Rs, ts
+
+
+def triangulate_two_view_jax(R_21, t_21, b1, b2):
+    """Batched two-view midpoint triangulation on device.
+
+    ``R_21, t_21``: pose of camera 1 expressed in camera 2 (p2 = R21 p1 + t21);
+    ``b1, b2``: (N, 3) bearing vectors. Returns (N, 3) points in camera-1
+    coordinates and an (N,) front-of-both-cameras mask (the cheirality test of
+    the reference's ``check_inliers``-style candidate selection).
+    """
+    # rays in camera-1 frame: d1 = b1 from origin 0; camera-2 center in
+    # cam1 coords is c2 = -R21^T t21, ray direction R21^T b2
+    c2 = -R_21.T @ t_21
+    d1 = b1 / jnp.maximum(jnp.linalg.norm(b1, axis=-1, keepdims=True), 1e-12)
+    d2 = b2 @ R_21  # == (R21^T b2^T)^T
+    d2 = d2 / jnp.maximum(jnp.linalg.norm(d2, axis=-1, keepdims=True), 1e-12)
+    eye = jnp.eye(3, dtype=b1.dtype)
+    M1 = eye[None] - d1[:, :, None] * d1[:, None, :]
+    M2 = eye[None] - d2[:, :, None] * d2[:, None, :]
+    A = M1 + M2
+    rhs = jnp.einsum("nij,j->ni", M2, c2)
+    # damped solve keeps degenerate (parallel-ray) systems finite; those
+    # points are masked out by the cheirality/parallax test below
+    pts = jnp.linalg.solve(A + 1e-6 * eye[None], rhs[..., None])[..., 0]
+    z1 = jnp.einsum("ni,ni->n", pts, d1)
+    z2 = jnp.einsum("ni,ni->n", pts - c2[None], d2)
+    parallax = jnp.einsum("ni,ni->n", d1, d2)
+    ok = (z1 > 1e-6) & (z2 > 1e-6) & (parallax < 1.0 - 1e-7)
+    return pts, ok
+
+
+def recover_pose_from_E_jax(E_21, b1, b2, valid):
+    """Pick the (R, t) of the 4 E decompositions with the most points in
+    front of both cameras (reference: essential_solver.cc pose recovery via
+    check_inliers on each candidate). Returns (R_21, t_21, pts_cam1, ok)."""
+    Rs, ts = decompose_E_jax(E_21)
+    pts4, ok4 = jax.vmap(lambda R, t: triangulate_two_view_jax(R, t, b1, b2))(Rs, ts)
+    counts = jnp.sum(ok4 & valid[None], axis=1)
+    best = jnp.argmax(counts)
+    return Rs[best], ts[best], pts4[best], ok4[best] & valid
 
 
 class EssentialRansacResult(NamedTuple):

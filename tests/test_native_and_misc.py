@@ -132,20 +132,74 @@ class TestMultichipStep:
     def test_sharded_update_step_8_devices(self):
         import jax
         from slam_tpu.parallel.mesh import make_mesh, shard_batch
-        from slam_tpu.parallel.multichip import build_update_step, tiny_ba_problem
+        from slam_tpu.parallel.multichip import build_update_step, make_key_banks
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         mesh = make_mesh(8, axis_names=("data", "hyp"))
-        step = build_update_step(mesh, 96, 80, hypotheses=16)
+        step = build_update_step(mesh, 96, 80, hypotheses=16, ba_capacity=16)
         images = rng.integers(0, 256, (8, 80, 96)).astype(np.float32)
-        keys = np.asarray(jax.random.split(jax.random.PRNGKey(0), 8 * 16))
-        keys = keys.reshape(8, 16, 2)
+        ke, ks = make_key_banks(8, 16)
+        key_sh = NamedSharding(mesh, P("data", "hyp"))
         out = step(shard_batch(mesh, images),
-                   jax.device_put(keys, NamedSharding(mesh, P("data", "hyp"))),
-                   tiny_ba_problem())
+                   jax.device_put(ke, key_sh), jax.device_put(ks, key_sh))
         jax.block_until_ready(out)
-        assert np.isfinite(float(np.asarray(out.ba_cost)))
+        costs = np.asarray(out.ba_cost)
+        assert costs.shape == (8,) and np.isfinite(costs).all()
         assert np.asarray(out.keypoints).shape[0] == 8
+        assert np.asarray(out.poses).shape == (8, 2, 4, 4)
+
+    def test_uses_production_kernels(self):
+        """Regression for round-1: the sharded step must dispatch the SAME
+        kernels as the single-chip pipeline, not multichip-only twins."""
+        import inspect
+        from slam_tpu.parallel import multichip
+
+        assert not hasattr(multichip, "_batched_pyramid")
+        assert not hasattr(multichip, "tiny_ba_problem")
+        src = inspect.getsource(multichip)
+        for sym in ("_extract_impl", "hamming_matrix",
+                    "_essential_ransac_core", "_sim3_ransac_core",
+                    "recover_pose_from_E_jax", "ba._lm_run"):
+            assert sym in src, f"production kernel {sym} not used"
+
+    def test_pair_step_recovers_known_motion(self):
+        """Render two views of a textured synthetic world and check the
+        sharded step's chain recovers consistent geometry end to end."""
+        import jax
+        from slam_tpu.parallel.mesh import make_mesh, shard_batch
+        from slam_tpu.parallel.multichip import build_update_step, make_key_banks
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        # textured dot-field rendered at two nearby camera positions
+        from synthetic_world import make_world, visible_landmarks
+        world = make_world(n_frames=4, n_landmarks=300, seed=3,
+                           trajectory="line")
+        local_rng = np.random.default_rng(7)
+        patches = local_rng.integers(40, 255, (300, 9, 9)).astype(np.uint8)
+        w, h = world.camera.width, world.camera.height
+
+        def render(i):
+            img = np.full((h, w), 20, np.uint8)
+            vis, pix = visible_landmarks(world, i, margin=6.0)
+            for li in vis:
+                x, y = int(round(pix[li, 0])), int(round(pix[li, 1]))
+                y0, y1 = max(0, y - 4), min(h, y + 5)
+                x0, x1 = max(0, x - 4), min(w, x + 5)
+                img[y0:y1, x0:x1] = patches[li][:y1 - y0, :x1 - x0]
+            return img
+
+        mesh = make_mesh(8, axis_names=("data", "hyp"))
+        step = build_update_step(mesh, w, h, hypotheses=32, ba_capacity=32,
+                                 max_keypoints=200, camera=world.camera)
+        images = np.stack([render(i % 4) for i in range(8)]).astype(np.float32)
+        ke, ks = make_key_banks(8, 32, seed=1)
+        key_sh = NamedSharding(mesh, P("data", "hyp"))
+        out = step(shard_batch(mesh, images),
+                   jax.device_put(ke, key_sh), jax.device_put(ks, key_sh))
+        jax.block_until_ready(out)
+        ess = np.asarray(out.essential_inliers)
+        assert (ess >= 8).all(), ess  # real matches between real views
+        assert np.isfinite(np.asarray(out.ba_cost)).all()
 
 
 class TestPallasKernels:
