@@ -171,6 +171,105 @@ def bench_pipeline(n_frames=36, n_passes=2):
     return best_fps, n_kfs, n_mps
 
 
+def bench_ba_solve(n_reps=10):
+    """Local-BA ms/solve on the representative padded bucket the pipeline
+    hits in steady state (BASELINE.md names this metric). End-to-end time of
+    the fused two-stage dispatch incl. the uint32 transfer buffer put and the
+    async-collected device_get."""
+    import jax
+    import jax.numpy as jnp
+    from slam_tpu.ops import ba
+
+    K, M, O, E, P = 16, 512, 2048, 32, 1
+
+    rng = np.random.default_rng(0)
+    poses = np.tile(np.eye(4, dtype=np.float32), (K, 1, 1))
+    poses[:, 0, 3] = 0.1 * np.arange(K)
+    points = rng.uniform([-1, -1, 3], [1, 1, 6], (M, 3)).astype(np.float32)
+    obs_kf = rng.integers(0, K, O).astype(np.int32)
+    obs_mp = rng.integers(0, M, O).astype(np.int32)
+    pc = (np.einsum("oij,oj->oi", poses[obs_kf, :3, :3], points[obs_mp])
+          + poses[obs_kf, :3, 3])
+    meas = pc[:, :2] / pc[:, 2:3] + rng.normal(0, 1e-3, (O, 2))
+    p = ba.BAProblem(
+        poses=jnp.asarray(poses),
+        pose_fixed=jnp.asarray([i == 0 for i in range(K)]),
+        points=jnp.asarray(points), points_fixed=jnp.zeros(M, bool),
+        obs_kf=jnp.asarray(obs_kf), obs_mp=jnp.asarray(obs_mp),
+        obs_meas=jnp.asarray(meas, jnp.float32),
+        obs_sqrt_info=jnp.full((O,), 100.0, jnp.float32),
+        obs_valid=jnp.ones(O, bool),
+        pe_a=jnp.asarray(np.arange(1, E + 1) % K, jnp.int32),
+        pe_b=jnp.asarray(np.arange(0, E), jnp.int32) % K,
+        pe_meas=jnp.tile(jnp.eye(4, dtype=jnp.float32), (E, 1, 1)),
+        pe_sqrt_info=jnp.zeros((E, 6, 6), jnp.float32),
+        pe_valid=jnp.zeros(E, bool),
+        pr_idx=jnp.zeros(P, jnp.int32),
+        pr_meas=jnp.tile(jnp.eye(4, dtype=jnp.float32), (P, 1, 1)),
+        pr_sqrt_info=jnp.zeros((P, 6, 6), jnp.float32),
+        pr_valid=jnp.zeros(P, bool))
+    iters = int(1 + np.sqrt(16))
+    cg = ba.pick_cg_iters(K, M)
+    f32, i32, b8 = ba.pack_problem(jax.tree.map(np.asarray, p))
+    f32 = np.concatenate([f32, np.zeros(36, np.float32)])
+    i32 = np.concatenate([i32, np.zeros(1, np.int32)])
+    b8 = np.concatenate([b8, np.zeros(K, bool)])
+    buf = ba.fuse_packed(f32, i32, b8)
+    out = ba.solve_ba_two_stage_fused(buf, K, M, O, E, P,
+                                      iterations=iters, cg_iters=cg)
+    jax.device_get(out)  # compile + settle
+    best = float("inf")
+    for _ in range(n_reps):
+        t0 = time.perf_counter()
+        out = ba.solve_ba_two_stage_fused(buf, K, M, O, E, P,
+                                          iterations=iters, cg_iters=cg)
+        jax.device_get(out)
+        best = min(best, time.perf_counter() - t0)
+    return best * 1e3
+
+
+def bench_aggregate(n_sessions=4, n_frames=30):
+    """Aggregate keyframes/sec over N concurrent SLAM sessions on ONE chip
+    (serving-style throughput: device dispatches of all sessions interleave,
+    overlapping one session's host bookkeeping with another's kernels and
+    tunnel round trips)."""
+    from slam_tpu.parallel.batch import map_sequences
+    from slam_tpu.params import Parameters, ParametersSlam
+    from slam_tpu.map.keyframe import MapperInput, Pose
+
+    def make_params():
+        return Parameters(slam=ParametersSlam(
+            keyframeDecisionMinIntervalSeconds=0.0,
+            minVisibleMapPointsInCurrentFrameBA=8,
+            localBAProblemSize=16,
+            adjacentSpaceSize=10,
+            maxKeypoints=600,
+            pipelinedLocalBA=True,
+            useFrontendSlam=False))
+
+    worlds = [render_world(n_frames=n_frames, seed=10 + s)
+              for s in range(n_sessions)]
+
+    def make_input(world, patches, i):
+        return MapperInput(
+            frame=render_frame(world, patches, i),
+            camera=world.camera,
+            track_ids=np.zeros(0, np.int64),
+            track_pts=np.zeros((0, 2), np.float32),
+            track_depths=None,
+            pose_trail=[Pose(frame_number=j, t=world.times[j],
+                             pose_cw=world.odometry_cw[j].copy())
+                        for j in range(i, max(-1, i - 6), -1)],
+            t=world.times[i])
+
+    sequences = [[make_input(w, p, i) for i in range(n_frames)]
+                 for (w, p) in worlds]
+    t0 = time.perf_counter()
+    map_sequences(sequences, make_params(), n_workers=n_sessions)
+    dt = time.perf_counter() - t0
+    return n_sessions * n_frames / dt
+
+
 def bench_roundtrip(n_reps=30):
     """Host->device->host latency floor of this environment (a trivial op).
 
@@ -192,13 +291,20 @@ def bench_roundtrip(n_reps=30):
 def main():
     roundtrip_ms = bench_roundtrip()
     frontend_ms = bench_frontend()
+    ba_ms = bench_ba_solve()
     fps, n_kfs, n_mps = bench_pipeline()
+    agg_sessions = 4
+    agg_fps = bench_aggregate(n_sessions=agg_sessions)
     baseline_fps = 20.0  # reference CPU real-time camera rate (see docstring)
     print(json.dumps({
         "metric": "synthetic_vo_keyframes_per_sec",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / baseline_fps, 3),
+        "aggregate_keyframes_per_sec": round(agg_fps, 3),
+        "aggregate_sessions": agg_sessions,
+        "vs_baseline_aggregate": round(agg_fps / baseline_fps, 3),
+        "local_ba_ms_per_solve": round(ba_ms, 3),
         "frontend_ms_per_frame": round(frontend_ms, 3),
         "device_roundtrip_ms": round(roundtrip_ms, 3),
         "map_keyframes": n_kfs,

@@ -44,7 +44,20 @@ class BowSimilar(NamedTuple):
 
 @functools.lru_cache(maxsize=4)
 def make_codebook(num_words: int, seed: int = _CODEBOOK_SEED) -> np.ndarray:
-    """(V, 8) uint32 random binary centroids."""
+    """(V, 8) uint32 binary centroids.
+
+    Loads the trained vocabulary ``slam_tpu/data/vocab_<V>.npz`` when it
+    exists (hierarchical binary k-means over production ORB descriptors,
+    `tools/train_vocab.py` — the counterpart of the reference's offline
+    DBoW2 vocabulary file, bow_index.cpp:12-28); otherwise falls back to
+    deterministic seeded random centroids (LSH-style quantizer)."""
+    import os
+    path = os.path.join(os.path.dirname(__file__), "..", "data",
+                        f"vocab_{num_words}.npz")
+    if seed == _CODEBOOK_SEED and os.path.exists(path):
+        vocab = np.load(path)["codebook"]
+        assert vocab.shape == (num_words, 8) and vocab.dtype == np.uint32
+        return vocab
     rng = np.random.default_rng(seed)
     return rng.integers(0, 2 ** 32, size=(num_words, 8), dtype=np.uint32)
 
@@ -76,7 +89,15 @@ def quantize(descriptors: np.ndarray, codebook: np.ndarray) -> np.ndarray:
 
 
 class BowIndex:
-    """reference: bow_index.{hpp,cpp}"""
+    """reference: bow_index.{hpp,cpp}
+
+    The retrieval store is an inverted index word -> postings, exactly like
+    the reference's ``index[wordId].push_back(mapKf)`` (bow_index.cpp:44-48):
+    queries touch only the postings of the query's words (O(total postings of
+    query words), independent of the number of indexed keyframes), and
+    ``remove`` is an O(1) tombstone. Each posting carries the entry's
+    normalized signature weight for that word, so the accumulated score is
+    bit-identical to the dense signature dot product."""
 
     def __init__(self, parameters: ParametersSlam):
         self.parameters = parameters
@@ -85,10 +106,13 @@ class BowIndex:
         assert self.num_words % self.num_groups == 0
         self._group_div = self.num_words // self.num_groups
         self.codebook = make_codebook(self.num_words)
-        # retrieval store: signature matrix rows + keyframe list
-        self._entries: List[MapKf] = []
-        self._signatures: List[np.ndarray] = []
-        self._words: List[np.ndarray] = []  # sorted unique word ids per entry
+        # inverted index: word -> (entry rows, per-row signature weights)
+        self._post_rows: Dict[int, List[int]] = {}
+        self._post_weights: Dict[int, List[float]] = {}
+        self._entries: List[MapKf] = []       # row id -> MapKf (tombstoned)
+        self._alive: List[bool] = []
+        self._row_of: Dict[MapKf, int] = {}
+        self._n_alive = 0
 
     # ------------------------------------------------------------------
 
@@ -113,46 +137,106 @@ class BowIndex:
 
     def add(self, keyframe, map_id: MapId) -> None:
         assert keyframe.shared.bow_signature is not None, "transform() first"
-        self._entries.append(MapKf(map_id, keyframe.id))
-        self._signatures.append(keyframe.shared.bow_signature)
-        self._words.append(np.unique(keyframe.shared.words))
+        row = len(self._entries)
+        map_kf = MapKf(map_id, keyframe.id)
+        self._entries.append(map_kf)
+        self._alive.append(True)
+        self._row_of[map_kf] = row
+        self._n_alive += 1
+        sig = keyframe.shared.bow_signature
+        uw = np.unique(keyframe.shared.words)
+        for w, wt in zip(uw.tolist(), sig[uw].tolist()):
+            self._post_rows.setdefault(w, []).append(row)
+            self._post_weights.setdefault(w, []).append(wt)
 
     def remove(self, map_kf: MapKf) -> None:
-        for i, e in enumerate(self._entries):
-            if e == map_kf:
-                del self._entries[i]
-                del self._signatures[i]
-                del self._words[i]
-                return
+        row = self._row_of.pop(map_kf, None)
+        if row is None:
+            return
+        self._alive[row] = False
+        self._n_alive -= 1
+        # amortized cleanup: when most rows are dead, rebuild the postings
+        if (len(self._entries) > 64
+                and self._n_alive < len(self._entries) // 2):
+            self._compact()
+
+    def _compact(self) -> None:
+        remap = {}
+        entries, alive = [], []
+        for row, (e, a) in enumerate(zip(self._entries, self._alive)):
+            if a:
+                remap[row] = len(entries)
+                entries.append(e)
+                alive.append(True)
+        for w in list(self._post_rows):
+            rows = self._post_rows[w]
+            weights = self._post_weights[w]
+            kept = [(remap[r], wt) for r, wt in zip(rows, weights) if r in remap]
+            if kept:
+                self._post_rows[w] = [r for r, _ in kept]
+                self._post_weights[w] = [wt for _, wt in kept]
+            else:
+                del self._post_rows[w]
+                del self._post_weights[w]
+        self._entries = entries
+        self._alive = alive
+        self._row_of = {e: i for i, e in enumerate(entries)}
 
     def __len__(self) -> int:
-        return len(self._entries)
+        return self._n_alive
 
     # ------------------------------------------------------------------
 
+    @timed
     def get_bow_similar(self, map_db: MapDB, atlas, kf) -> List[BowSimilar]:
         """Candidate keyframes for loop closure / relocation
-        (reference: bow_index.cpp:95-176)."""
-        if not self._entries:
+        (reference: bow_index.cpp:95-176). One pass over the postings of the
+        query's words accumulates both words-in-common counts and signature
+        dot products; gating then follows the reference contract exactly
+        (strict > on the in-common ratio, >= on the score ratio)."""
+        if self._n_alive == 0:
             return []
         current = MapKf(CURRENT_MAP_ID, kf.id)
         q_words = np.unique(kf.shared.words)
         q_sig = kf.shared.bow_signature
 
-        in_common = np.array([
-            0 if e == current else len(np.intersect1d(q_words, w, assume_unique=True))
-            for e, w in zip(self._entries, self._words)])
-        max_in_common = int(in_common.max()) if len(in_common) else 0
+        n_rows = len(self._entries)
+        # one C-speed pass over the postings of the query's words: bincount
+        # accumulates both the words-in-common counts and the signature dot
+        # products (sum over shared words of q_sig[w] * entry_sig[w])
+        from itertools import chain
+        rows_lists, weight_lists, q_factors, lens = [], [], [], []
+        for w in q_words.tolist():
+            rows = self._post_rows.get(w)
+            if not rows:
+                continue
+            rows_lists.append(rows)
+            weight_lists.append(self._post_weights[w])
+            q_factors.append(float(q_sig[w]))
+            lens.append(len(rows))
+        if not rows_lists:
+            return []
+        total = sum(lens)
+        cat_rows = np.fromiter(chain.from_iterable(rows_lists), np.int64, total)
+        cat_w = np.fromiter(chain.from_iterable(weight_lists), np.float64, total)
+        qf = np.repeat(np.asarray(q_factors), lens)
+        counts = np.bincount(cat_rows, minlength=n_rows)
+        scores = np.bincount(cat_rows, weights=qf * cat_w, minlength=n_rows)
+
+        live = np.asarray(self._alive, bool)
+        cur_row = self._row_of.get(current)
+        if cur_row is not None:
+            live = live.copy()
+            live[cur_row] = False
+        counts = np.where(live, counts, 0)
+
+        max_in_common = int(counts.max()) if n_rows else 0
         if max_in_common == 0:
             return []
         min_in_common = int(self.parameters.bowMinInCommonRatio * max_in_common)
 
-        sig_matrix = np.stack(self._signatures)
-        scores = sig_matrix @ q_sig
-
-        similar = [BowSimilar(e, float(s))
-                   for e, s, c in zip(self._entries, scores, in_common)
-                   if c > min_in_common and e != current]
+        cand = np.flatnonzero(counts > min_in_common)
+        similar = [BowSimilar(self._entries[i], float(scores[i])) for i in cand]
         if not similar:
             return []
         similar.sort(key=lambda x: -x.score)

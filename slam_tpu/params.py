@@ -87,8 +87,11 @@ class ParametersSlam:
     odometryPriorSimpleUncertainty: bool = False
 
     # --- place recognition (BoW-equivalent retrieval) -----------------------
-    vocabularyPath: str = ""          # unused: retrieval codebook is generated
-    bowVocabularySize: int = 4096     # number of visual words in the codebook
+    vocabularyPath: str = ""          # unused: trained codebook ships in-tree
+    # 65536 words: the trained hierarchical-k-means vocabulary
+    # slam_tpu/data/vocab_65536.npz (tools/train_vocab.py); sizes without a
+    # trained file fall back to seeded-random LSH centroids (ops/bow.py)
+    bowVocabularySize: int = 65536    # number of visual words in the codebook
     bowFeatureGroups: int = 128       # nodes for feature-bucketed matching
     bowMinInCommonRatio: float = 0.8
     bowScoreRatio: float = 0.75

@@ -127,6 +127,120 @@ class TestBowRetrieval:
         index.remove(MapKf(CURRENT_MAP_ID, KfId(5)))
         assert len(index) == 0
 
+    def test_compaction_preserves_results(self):
+        """Tombstoned rows must never surface, and the periodic postings
+        compaction must not change retrieval results."""
+        from slam_tpu.ops.bow import BowIndex
+        from slam_tpu.ids import CURRENT_MAP_ID, KfId
+        from slam_tpu.map.mapdb import MapDB, MapKf
+        from slam_tpu.map.keyframe import Keyframe
+        from slam_tpu.params import ParametersSlam
+
+        index = BowIndex(ParametersSlam())
+        db = MapDB()
+        local = np.random.default_rng(3)
+
+        def make_kf(kf_id, desc):
+            kf = Keyframe()
+            kf.id = KfId(kf_id)
+            kf.shared.descriptors = desc
+            index.transform(kf.shared)
+            return kf
+
+        kfs = [make_kf(i, local.integers(0, 2**32, (80, 8), dtype=np.uint32))
+               for i in range(200)]
+        for kf in kfs:
+            index.add(kf, CURRENT_MAP_ID)
+        query = make_kf(999, kfs[7].shared.descriptors.copy())
+        before = index.get_bow_similar(db, [], query)
+        assert before and int(before[0].map_kf.kf_id) == 7
+        # remove >half the rows (keeping 7) to force compaction
+        for i in range(200):
+            if i != 7 and i % 4 != 0:
+                index.remove(MapKf(CURRENT_MAP_ID, KfId(i)))
+        assert len(index) == 51
+        after = index.get_bow_similar(db, [], query)
+        assert after and int(after[0].map_kf.kf_id) == 7
+        assert abs(after[0].score - before[0].score) < 1e-12
+        removed_ids = {int(s.map_kf.kf_id) for s in after}
+        assert all(i == 7 or i % 4 == 0 for i in removed_ids)
+
+    def test_loop_revisit_recall(self):
+        """On a two-lap loop world the true revisit keyframe must appear in
+        the returned candidates for >= 90% of second-lap queries (the recall
+        contract loop closure depends on; reference: bow_index.cpp:95-176)."""
+        from synthetic_world import make_world, visible_landmarks
+        from slam_tpu.ops.bow import BowIndex
+        from slam_tpu.ids import CURRENT_MAP_ID, KfId
+        from slam_tpu.map.mapdb import MapDB
+        from slam_tpu.map.keyframe import Keyframe
+        from slam_tpu.params import ParametersSlam
+        from slam_tpu.geometry import se3
+
+        lap = 60
+        world = make_world(n_frames=2 * lap, n_landmarks=800,
+                           trajectory="loop", lap_frames=lap, seed=5)
+        index = BowIndex(ParametersSlam())
+        db = MapDB()
+
+        def make_kf(i):
+            vis, _ = visible_landmarks(world, i)
+            kf = Keyframe()
+            kf.id = KfId(i)
+            kf.shared.descriptors = world.descriptors[vis]
+            index.transform(kf.shared)
+            return kf
+
+        first_lap = [make_kf(i) for i in range(lap)]
+        for kf in first_lap:
+            index.add(kf, CURRENT_MAP_ID)
+        centers = np.stack([se3.camera_center(world.poses_cw[i])
+                            for i in range(2 * lap)])
+
+        hits = total = 0
+        for i in range(lap, 2 * lap):
+            dists = np.linalg.norm(centers[:lap] - centers[i], axis=1)
+            near = set(np.flatnonzero(dists < 0.75).tolist())
+            if not near:
+                continue
+            total += 1
+            got = {int(s.map_kf.kf_id)
+                   for s in index.get_bow_similar(db, [], make_kf(i))}
+            if got & near:
+                hits += 1
+        assert total >= 40, total
+        recall = hits / total
+        assert recall >= 0.9, f"revisit recall {recall:.2f} ({hits}/{total})"
+
+    def test_retrieval_scales(self):
+        """600 indexed keyframes, one query per insertion — the inverted
+        index must stay O(postings-of-query) per query, nowhere near the
+        former O(K^2) python scan (config-5 scale, loop_closer.cpp:149)."""
+        import time
+        from slam_tpu.ops.bow import BowIndex
+        from slam_tpu.ids import CURRENT_MAP_ID, KfId
+        from slam_tpu.map.mapdb import MapDB
+        from slam_tpu.map.keyframe import Keyframe
+        from slam_tpu.params import ParametersSlam
+
+        index = BowIndex(ParametersSlam())
+        db = MapDB()
+        local = np.random.default_rng(9)
+        t_query = 0.0
+        for i in range(600):
+            kf = Keyframe()
+            kf.id = KfId(i)
+            kf.shared.descriptors = local.integers(
+                0, 2**32, (300, 8), dtype=np.uint32)
+            index.transform(kf.shared)
+            t0 = time.perf_counter()
+            index.get_bow_similar(db, [], kf)
+            t_query += time.perf_counter() - t0
+            index.add(kf, CURRENT_MAP_ID)
+        # generous bound for a noisy 1-core box; the old dense-scan path took
+        # several seconds at this size
+        assert t_query < 3.0, f"600 queries took {t_query:.2f}s"
+
 
 class TestMultichipStep:
     def test_sharded_update_step_8_devices(self):
