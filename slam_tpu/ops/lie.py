@@ -39,16 +39,24 @@ def so3_exp(omega):
 
 
 def so3_log(R):
-    """(..., 3, 3) -> (..., 3); safe for angles < pi - eps."""
+    """(..., 3, 3) -> (..., 3); safe for angles < pi - eps.
+
+    Differentiation-safe at the identity: the small-angle branch is a series
+    in |w|^2 (|w| = 2 sin theta), and the arccos input is pushed away from
+    +/-1 on small lanes (double-where), so jacfwd/jacrev stay finite — BA
+    pose edges and priors start at exactly zero error in the device-VO pose
+    step and at the odometry-seeded newest keyframe."""
     cos_t = jnp.clip((R[..., 0, 0] + R[..., 1, 1] + R[..., 2, 2] - 1.0) / 2.0,
                      -1.0, 1.0)
-    theta = jnp.arccos(cos_t)
     w = jnp.stack([R[..., 2, 1] - R[..., 1, 2],
                    R[..., 0, 2] - R[..., 2, 0],
                    R[..., 1, 0] - R[..., 0, 1]], axis=-1)
-    small = theta < 1e-5
+    small = cos_t > 1.0 - 1e-7          # theta < ~4.5e-4
+    cos_safe = jnp.where(small, 0.0, cos_t)
+    theta = jnp.arccos(cos_safe)
     sin_t = jnp.sin(theta)
-    scale = jnp.where(small, 0.5 + theta * theta / 12.0,
+    w2 = jnp.sum(w * w, axis=-1)        # = 4 sin^2(theta)
+    scale = jnp.where(small, 0.5 + w2 / 48.0,
                       theta / jnp.where(small, 1.0, 2.0 * sin_t))
     return w * scale[..., None]
 

@@ -207,10 +207,14 @@ class _ProblemBuilder:
         return True
 
     def add_orientation_anchor(self, kf_id: KfId, pose_cw: np.ndarray) -> None:
-        """Soft rotation-only prior (reference: bundle_adjuster.cpp:339-370)."""
-        r = 100.0 * self.settings.parameters.slam.odometryPriorStrengthRotation
+        """Soft orientation prior (reference: bundle_adjuster.cpp:339-370),
+        with the weak translation gauge block documented at the two-stage
+        call site in local_bundle_adjust."""
+        p = self.settings.parameters.slam
+        r = 100.0 * p.odometryPriorStrengthRotation
         info = np.zeros((6, 6))
         info[:3, :3] = np.eye(3) * r * r
+        info[3:, 3:] = np.eye(3) * p.odometryPriorStrengthPosition ** 2
         self.priors.append((self.kf_slot[kf_id], np.asarray(pose_cw), _sqrt_info(info)))
 
     # ------------------------------------------------------------------
@@ -482,9 +486,20 @@ def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
     # both stages fused into one device call: stage 1 refines the current
     # keyframe with everything else fixed; stage 2 unfixes all poses and
     # softly anchors the current keyframe's stage-1 orientation
+    # (bundle_adjuster.cpp:339-370).
+    # DEVIATION (documented, docs/ARCHITECTURE.md §4): the reference zeroes
+    # the anchor's translation information and relies on f64 g2o damping to
+    # keep the un-gauged global-translation direction still. In the f32
+    # device solver the gradient noise along that null direction is
+    # amplified by 1/lambda and the whole local window drifts metres over a
+    # sequence; a weak translation block (the per-edge odometry position
+    # strength) regularizes the gauge with negligible (<1%) bias relative to
+    # the odometry-chain constraints.
     r = 100.0 * parameters.odometryPriorStrengthRotation
+    tr = parameters.odometryPriorStrengthPosition
     anchor_info = np.zeros((6, 6))
     anchor_info[:3, :3] = np.eye(3) * r * r
+    anchor_info[3:, 3:] = np.eye(3) * tr * tr
     with section("ba_build"):
         problem = builder.build()
         K, M = problem.poses.shape[0], problem.points.shape[0]
