@@ -29,6 +29,7 @@ class ViewerDataPublisher:
         self._keyframes: List[dict] = []
         self._loop_stages: Dict[str, int] = {}
         self._loop_closures: List[dict] = []
+        self._loop_closure_edges: List[dict] = []
         self._atlas: List[dict] = []
         self._age: float = -1.0
 
@@ -77,11 +78,17 @@ class ViewerDataPublisher:
             })
         stages = {f"{int(k.map_id)}:{int(k.kf_id)}": int(v)
                   for k, v in map_db.loop_stages.items()}
+        # accepted loop-closure graph edges (reference: slam_viewer.cpp loop
+        # edge rendering; LoopClosureEdge list, mapdb.hpp)
+        lc_edges = [{"kfId1": int(e.kf_id1), "kfId2": int(e.kf_id2),
+                     "poseDiff": np.asarray(e.pose_diff, float).tolist()}
+                    for e in map_db.loop_closure_edges]
         age = float(int(map_db.last_keyframe_candidate_id()))
         with self._lock:
             self._map_points = mps
             self._keyframes = kfs
             self._loop_stages = stages
+            self._loop_closure_edges = lc_edges
             self._age = age
 
     def add_loop_closure(self, current_pose_wc, candidate_pose_wc,
@@ -124,6 +131,10 @@ class ViewerDataPublisher:
         with self._lock:
             return list(self._loop_closures)
 
+    def get_loop_closure_edges(self) -> List[dict]:
+        with self._lock:
+            return list(self._loop_closure_edges)
+
     def get_atlas(self) -> List[dict]:
         with self._lock:
             return list(self._atlas)
@@ -140,6 +151,7 @@ class ViewerDataPublisher:
                 "keyframes": self._keyframes,
                 "loopStages": self._loop_stages,
                 "loopClosures": self._loop_closures,
+                "loopClosureEdges": self._loop_closure_edges,
                 "atlas": self._atlas,
             }
         with open(path, "w") as f:

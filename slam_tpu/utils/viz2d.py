@@ -25,6 +25,18 @@ COLOR_MATCH = (0, 200, 255)
 COLOR_MAP_POINT = (200, 60, 60)
 COLOR_TRAJ = (40, 120, 255)
 COLOR_ODOM = (150, 150, 150)
+COLOR_COVIS = (60, 90, 60)
+COLOR_LOOP_EDGE = (255, 60, 255)
+# loop-stage palette (reference: slam_viewer.cpp loop-stage coloring;
+# stages from mapdb LoopStage)
+STAGE_COLORS = {
+    0: (120, 120, 120),   # BOW_MATCH
+    1: (230, 230, 60),    # QUICK_TESTS
+    2: (255, 160, 40),    # MAP_POINT_MATCHES
+    3: (60, 255, 60),     # ACCEPTED
+    4: (60, 200, 255),    # RELOCATION_MAP_POINT_MATCHES
+    5: (160, 60, 255),    # RELOCATION_MAP_POINT_RANSAC
+}
 
 
 def write_png(path: str, img: np.ndarray) -> None:
@@ -112,19 +124,23 @@ def render_matches(image1: np.ndarray, pts1: np.ndarray,
 
 
 def render_map_orthographic(map_db, plane: str = "xz", size: int = 800,
-                            margin: float = 0.07) -> np.ndarray:
-    """Top-down (or other plane) view of the map: point cloud, SLAM
-    trajectory, odometry trajectory (Pangolin-viewer equivalent artifact)."""
+                            margin: float = 0.07,
+                            covisibility: bool = True,
+                            min_covisibilities: int = 15) -> np.ndarray:
+    """Top-down (or other plane) view of the map: point cloud, SLAM +
+    odometry trajectories, covisibility-graph edges, accepted loop-closure
+    edges, loop-stage keyframe coloring, and frustum heading ticks — the
+    headless counterpart of the reference Pangolin viewer's map pane
+    (slam_viewer.cpp:27-63: frusta, covisibility edges, loop-stage colors)."""
     from slam_tpu.map.map_point import MapPointStatus
 
     ax = {"xy": (0, 1), "xz": (0, 2), "yz": (1, 2)}[plane]
     pts = [mp.position for mp in map_db.map_points.values()
            if mp.status == MapPointStatus.TRIANGULATED]
     from slam_tpu.geometry import se3
-    traj = [se3.camera_center(kf.pose_cw)
-            for _, kf in sorted(map_db.keyframes.items())]
-    odom = [se3.camera_center(kf.orig_pose_cw)
-            for _, kf in sorted(map_db.keyframes.items())]
+    kf_items = sorted(map_db.keyframes.items())
+    traj = [se3.camera_center(kf.pose_cw) for _, kf in kf_items]
+    odom = [se3.camera_center(kf.orig_pose_cw) for _, kf in kf_items]
     every = np.array(pts + traj + odom) if (pts or traj) else np.zeros((1, 3))
     lo = every[:, ax].min(axis=0)
     hi = every[:, ax].max(axis=0)
@@ -140,6 +156,15 @@ def render_map_orthographic(map_db, plane: str = "xz", size: int = 800,
     img = np.full((size, size, 3), 15, np.uint8)
     if pts:
         draw_points(img, project(np.array(pts)), COLOR_MAP_POINT, 1)
+
+    centers = {kf_id: c for (kf_id, _), c in zip(kf_items, traj)}
+    # covisibility-graph edges (dim, under the trajectories)
+    if covisibility and len(kf_items) >= 2:
+        for kf_id, kf in kf_items:
+            for nb in kf.get_neighbors(map_db, min_covisibilities):
+                if nb > kf_id and nb in centers:
+                    draw_line(img, project(centers[kf_id]),
+                              project(centers[nb]), COLOR_COVIS)
     for name, track, color in (("odom", odom, COLOR_ODOM),
                                ("slam", traj, COLOR_TRAJ)):
         if len(track) >= 2:
@@ -147,6 +172,24 @@ def render_map_orthographic(map_db, plane: str = "xz", size: int = 800,
             for a, b in zip(proj[:-1], proj[1:]):
                 draw_line(img, a, b, color)
             draw_points(img, proj, color, 2)
+    # frustum heading ticks: short segment along each camera's optical axis
+    if traj:
+        scale = 0.02 * float(np.max(span))
+        for (kf_id, kf), c in zip(kf_items, traj):
+            fwd = np.asarray(kf.pose_cw)[:3, :3].T @ np.array([0.0, 0.0, 1.0])
+            draw_line(img, project(c), project(np.asarray(c) + scale * fwd),
+                      COLOR_TRAJ)
+    # loop-stage coloring of the keyframes that recorded a stage
+    for key, stage in getattr(map_db, "loop_stages", {}).items():
+        kf_id = getattr(key, "kf_id", key)
+        if kf_id in centers:
+            draw_points(img, project(centers[kf_id])[None],
+                        STAGE_COLORS.get(int(stage), (255, 255, 255)), 3)
+    # accepted loop-closure edges on top (bright)
+    for e in getattr(map_db, "loop_closure_edges", []):
+        if e.kf_id1 in centers and e.kf_id2 in centers:
+            draw_line(img, project(centers[e.kf_id1]),
+                      project(centers[e.kf_id2]), COLOR_LOOP_EDGE)
     return img
 
 
