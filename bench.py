@@ -270,6 +270,51 @@ def bench_aggregate(n_sessions=4, n_frames=30):
     return n_sessions * n_frames / dt
 
 
+def bench_device_vo(n_sequences=4, chunk=8, n_chunks=6, width=640, height=480):
+    """Device-resident batched VO throughput (slam_tpu/pipeline/device_vo.py):
+    S sequences x T frames per dispatch, map state in HBM between dispatches,
+    zero per-frame host work. Dispatches chain asynchronously; only the final
+    collect forces completion."""
+    import jax
+    from slam_tpu.pipeline.device_vo import BatchedDeviceVO, DeviceVOConfig
+
+    total_frames = chunk * n_chunks
+    worlds = [render_world(n_frames=total_frames, seed=20 + s,
+                           width=width, height=height)
+              for s in range(n_sequences)]
+    cam = worlds[0][0].camera
+
+    def seq_arrays(world, patches):
+        frames = np.stack([render_frame(world, patches, i, width, height)
+                           for i in range(total_frames)])
+        deltas = np.stack(
+            [np.eye(4, dtype=np.float32)]
+            + [(world.poses_cw[i] @ np.linalg.inv(world.poses_cw[i - 1]))
+               .astype(np.float32) for i in range(1, total_frames)])
+        return frames, deltas
+
+    data = [seq_arrays(w, p) for (w, p) in worlds]
+    images = np.stack([d[0] for d in data])           # (S, TF, H, W)
+    deltas = np.stack([d[1] for d in data])           # (S, TF, 4, 4)
+
+    cfg = DeviceVOConfig(width=width, height=height, lm_capacity=512,
+                         max_keypoints=600)
+    vo = BatchedDeviceVO(cfg, batch=n_sequences, camera=cam)
+    # warmup chunk: compiles the scan program
+    out = vo.advance(images[:, :chunk], deltas[:, :chunk])
+    jax.device_get(out.pose_cw)
+
+    vo2 = BatchedDeviceVO(cfg, batch=n_sequences, camera=cam)
+    t0 = time.perf_counter()
+    outs = []
+    for c in range(n_chunks):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        outs.append(vo2.advance(images[:, sl], deltas[:, sl]))
+    jax.device_get(outs[-1].pose_cw)                  # forces the whole chain
+    dt = time.perf_counter() - t0
+    return n_sequences * total_frames / dt
+
+
 def bench_roundtrip(n_reps=30):
     """Host->device->host latency floor of this environment (a trivial op).
 
@@ -295,6 +340,7 @@ def main():
     fps, n_kfs, n_mps = bench_pipeline()
     agg_sessions = 4
     agg_fps = bench_aggregate(n_sessions=agg_sessions)
+    device_vo_fps = bench_device_vo()
     baseline_fps = 20.0  # reference CPU real-time camera rate (see docstring)
     print(json.dumps({
         "metric": "synthetic_vo_keyframes_per_sec",
@@ -304,6 +350,8 @@ def main():
         "aggregate_keyframes_per_sec": round(agg_fps, 3),
         "aggregate_sessions": agg_sessions,
         "vs_baseline_aggregate": round(agg_fps / baseline_fps, 3),
+        "device_vo_keyframes_per_sec": round(device_vo_fps, 3),
+        "vs_baseline_device_vo": round(device_vo_fps / baseline_fps, 3),
         "local_ba_ms_per_solve": round(ba_ms, 3),
         "frontend_ms_per_frame": round(frontend_ms, 3),
         "device_roundtrip_ms": round(roundtrip_ms, 3),

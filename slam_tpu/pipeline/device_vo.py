@@ -1,0 +1,384 @@
+"""Device-resident batched VO backend: the map lives in HBM, the whole
+per-frame backend step is ONE piece of a jitted program.
+
+The interactive pipeline (`pipeline/mapper.py`) keeps the map on host and
+dispatches fused kernels per stage — the right trade for a single live
+session with loop closure. This module is the serving/offline-throughput
+counterpart: S independent sequences are processed with `vmap`, T frames per
+dispatch with `lax.scan`, and the landmark store (static capacity + masks)
+stays on device between dispatches, so per-frame host work and host<->device
+transfers drop to zero. This is the TPU-native analogue of the reference's
+backend thread (`mapper.cpp:229-279`) for the `backendOnly` path
+(mapper.cpp:406-434): odometry-seeded pose, projection matching against the
+map, pose-only bundle adjustment, two-view triangulation of new landmarks,
+staleness culling.
+
+Every numeric stage is a production kernel:
+  - fused ORB front-end          `ops/frontend._extract_impl`
+  - popcount-GEMM matching       `ops/hamming.hamming_matrix`
+  - pose-only BA                 `ops/ba._lm_run` (poseBundleAdjust
+                                 semantics: fixed prev pose + fixed map
+                                 points + odometry prior edge,
+                                 bundle_adjuster.cpp:396-491)
+  - two-view triangulation       `ops/ransac.triangulate_two_view_jax`
+"""
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from slam_tpu.ops import ba, camera_jax
+from slam_tpu.ops.frontend import _extract_impl, _min_distances
+from slam_tpu.ops.hamming import hamming_matrix
+from slam_tpu.ops.matching import HAMMING_DIST_THR_LOW
+from slam_tpu.ops.pyramid import level_sizes
+from slam_tpu.ops.ransac import triangulate_two_view_jax
+from slam_tpu.params import Parameters, ParametersSlam, StaticSettings
+
+
+class VOState(NamedTuple):
+    """Per-sequence device-resident map/tracking state (static capacity).
+
+    Landmarks are anchored: position = anchor_origin + depth * anchor_ray
+    (world frame). Re-observations refine ``depth`` by 1-D Gauss-Newton on
+    the current reprojection, blended over the observation count — the
+    device-friendly counterpart of the interactive pipeline's landmark
+    re-triangulation + local BA position updates."""
+    pose_cw: jnp.ndarray        # (4, 4) current world->camera pose
+    lm_pos: jnp.ndarray         # (M, 3) landmark positions, world frame
+    lm_desc: jnp.ndarray        # (M, 8) uint32 ORB descriptors
+    lm_valid: jnp.ndarray       # (M,) slot occupancy
+    lm_last_seen: jnp.ndarray   # (M,) frame index of last observation
+    lm_anchor_origin: jnp.ndarray  # (M, 3) camera center at creation
+    lm_anchor_ray: jnp.ndarray     # (M, 3) unit world ray at creation
+    lm_depth: jnp.ndarray          # (M,) depth along the anchor ray
+    lm_n_obs: jnp.ndarray          # (M,) observation count
+    prev_pts: jnp.ndarray       # (N, 2) previous frame keypoints
+    prev_desc: jnp.ndarray      # (N, 8) previous frame descriptors
+    prev_free: jnp.ndarray      # (N,) prev keypoints not matched to the map
+    prev_pose_cw: jnp.ndarray   # (4, 4)
+    frame_idx: jnp.ndarray      # () int32
+
+
+class VOStepOut(NamedTuple):
+    pose_cw: jnp.ndarray        # (4, 4) optimized pose for the frame
+    n_matched: jnp.ndarray      # () matched landmarks used by pose BA
+    n_new: jnp.ndarray          # () landmarks inserted this frame
+
+
+class DeviceVOConfig(NamedTuple):
+    width: int
+    height: int
+    lm_capacity: int = 512
+    max_keypoints: int = 600
+    match_radius_px: float = 20.0
+    stale_age: int = 12
+    ba_iterations: int = 4
+    min_parallax_cos: float = 0.999995   # ~0.18 deg two-ray angle gate
+    # odometry-prior information weights, matching the interactive
+    # pipeline's odometryPriorStrengthPosition/Rotation defaults
+    # (mapper_helpers.cpp:911-956 semantics)
+    odom_pos_weight: float = 100.0
+    odom_rot_weight: float = 1000.0
+    max_depth_step: float = 0.1          # per-observation relative depth move
+
+
+def _frontend_spec(settings: StaticSettings, width: int, height: int):
+    p = settings.parameters.slam
+    scale_factors = tuple(float(s) for s in settings.scaleFactors)
+    sizes = level_sizes(width, height, scale_factors)
+    return (scale_factors, tuple(settings.maxNumberOfKeypointsPerLevel()),
+            tuple(_min_distances(settings, sizes)), int(p.orbLkTrackLevel),
+            p.slamFeatureDetector.lower() == "fast", width, height,
+            0)  # retrieval quantization not needed in the VO core
+
+
+def _match_map(state: VOState, pts, desc, feat_valid, pose_pred,
+               cam_kind, cam_params, cfg: DeviceVOConfig):
+    """Projection-gated mutual-nearest landmark<->feature matching
+    (searchByProjection semantics, keyframe_matcher.cpp:295-414, with the
+    radius gate in pixels and THR_LOW acceptance)."""
+    pc = state.lm_pos @ pose_pred[:3, :3].T + pose_pred[:3, 3]
+    proj, vis = camera_jax.project(cam_kind, cam_params, pc)
+    vis = vis & state.lm_valid & (pc[:, 2] > 1e-6)
+
+    dist = hamming_matrix(state.lm_desc, desc)              # (M, N)
+    d2 = jnp.sum((proj[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
+    gate = (vis[:, None] & feat_valid[None, :]
+            & (d2 <= cfg.match_radius_px ** 2))
+    big = jnp.int32(10_000)
+    dist = jnp.where(gate, dist, big)
+    nn_mf = jnp.argmin(dist, axis=1)                        # landmark -> feat
+    nn_fm = jnp.argmin(dist, axis=0)                        # feat -> landmark
+    d_best = jnp.min(dist, axis=1)
+    matched = ((nn_fm[nn_mf] == jnp.arange(dist.shape[0]))
+               & (d_best <= HAMMING_DIST_THR_LOW))
+    return nn_mf, matched
+
+
+def _pose_ba(state: VOState, pose_pred, meas_xy, matched,
+             cfg: DeviceVOConfig, obs_weight):
+    """Pose-only bundle adjust with the production LM solver
+    (poseBundleAdjust semantics, bundle_adjuster.cpp:396-491): previous pose
+    fixed, all landmarks fixed, one odometry-prior edge carrying the
+    odometry-predicted relative pose."""
+    M = state.lm_pos.shape[0]
+    sqrt_info = jnp.diag(jnp.asarray(
+        [cfg.odom_rot_weight] * 3 + [cfg.odom_pos_weight] * 3, jnp.float32))
+    problem = ba.BAProblem(
+        poses=jnp.stack([state.prev_pose_cw, pose_pred]),
+        pose_fixed=jnp.asarray([True, False]),
+        points=state.lm_pos,
+        points_fixed=jnp.ones(M, bool),
+        obs_kf=jnp.ones(M, jnp.int32),
+        obs_mp=jnp.arange(M, dtype=jnp.int32),
+        obs_meas=meas_xy.astype(jnp.float32),
+        obs_sqrt_info=jnp.broadcast_to(obs_weight, (M,)).astype(jnp.float32),
+        obs_valid=matched,
+        pe_a=jnp.zeros(1, jnp.int32), pe_b=jnp.ones(1, jnp.int32),
+        pe_meas=(pose_pred @ jnp.linalg.inv(state.prev_pose_cw))[None],
+        pe_sqrt_info=sqrt_info[None],
+        pe_valid=jnp.ones(1, bool),
+        pr_idx=jnp.zeros(1, jnp.int32),
+        pr_meas=jnp.eye(4, dtype=jnp.float32)[None],
+        pr_sqrt_info=jnp.zeros((1, 6, 6), jnp.float32),
+        pr_valid=jnp.zeros(1, bool))
+    res = ba._lm_run(problem, iterations=cfg.ba_iterations, cg_iters=0,
+                     huber_delta=float(np.sqrt(5.991)), init_lambda=1e-4)
+    return res.poses[1]
+
+
+def _refine_depths(state: VOState, pose_cw, meas_xy, matched):
+    """Anchored-depth refinement from the frame's re-observations.
+
+    For each matched landmark, two 1-D Gauss-Newton steps on the current
+    normalized-reprojection residual along the anchor ray, then an
+    incremental-mean blend over the observation count (approximates the
+    least-squares depth over the observation history; the role the local
+    BA's landmark update plays in the interactive pipeline)."""
+    R = pose_cw[:3, :3]
+    t = pose_cw[:3, 3]
+    a = state.lm_anchor_origin @ R.T + t            # (M, 3)
+    b = state.lm_anchor_ray @ R.T                   # (M, 3)
+
+    def residual(d):
+        pc = a + d[:, None] * b
+        z = jnp.maximum(pc[:, 2], 1e-6)
+        return pc[:, :2] / z[:, None] - meas_xy, pc, z
+
+    d = state.lm_depth
+    for _ in range(2):
+        e, pc, z = residual(d)
+        J = (b[:, :2] * z[:, None] - pc[:, :2] * b[:, 2:3]) / (z * z)[:, None]
+        num = jnp.sum(J * e, axis=1)
+        den = jnp.maximum(jnp.sum(J * J, axis=1), 1e-12)
+        d = d - num / den
+    # trust region: one observation may move the depth only a bounded
+    # relative amount (limits the drift feedback of refining landmarks
+    # against a possibly-off pose)
+    ok = matched & (d > 1e-3) & jnp.isfinite(d)
+    n = jnp.maximum(state.lm_n_obs, 1).astype(d.dtype)
+    d_blend = state.lm_depth + (d - state.lm_depth) / (n + 1.0)
+    max_move = 0.1 * jnp.maximum(state.lm_depth, 1e-3)
+    d_blend = jnp.clip(d_blend, state.lm_depth - max_move,
+                       state.lm_depth + max_move)
+    depth = jnp.where(ok, d_blend, state.lm_depth)
+    n_obs = jnp.where(matched, state.lm_n_obs + 1, state.lm_n_obs)
+    pos = state.lm_anchor_origin + depth[:, None] * state.lm_anchor_ray
+    return pos, depth, n_obs
+
+
+def _create_landmarks(state: VOState, pose_cw, pts, desc, free_cur,
+                      cam_kind, cam_params, cfg: DeviceVOConfig):
+    """Two-view triangulation of fresh landmarks from map-free features of
+    the current and previous frames (createNewMapPoints analogue,
+    mapper_helpers.cpp:271-318, restricted to the frame pair the VO core
+    carries)."""
+    dist = hamming_matrix(desc, state.prev_desc)
+    gate = free_cur[:, None] & state.prev_free[None, :]
+    big = jnp.int32(10_000)
+    dist = jnp.where(gate, dist, big)
+    nn_cp = jnp.argmin(dist, axis=1)
+    nn_pc = jnp.argmin(dist, axis=0)
+    d_best = jnp.min(dist, axis=1)
+    mutual = ((nn_pc[nn_cp] == jnp.arange(dist.shape[0]))
+              & (d_best <= HAMMING_DIST_THR_LOW))
+
+    b_cur = camera_jax.unproject(cam_kind, cam_params, pts)
+    b_prev = camera_jax.unproject(cam_kind, cam_params,
+                                  state.prev_pts[nn_cp])
+    # camera 1 = previous frame, camera 2 = current frame
+    T21 = pose_cw @ jnp.linalg.inv(state.prev_pose_cw)
+    pts_c1, tri_ok = triangulate_two_view_jax(
+        T21[:3, :3], T21[:3, 3], b_prev, b_cur)
+    # parallax gate: nearly-parallel rays give unusable depths
+    d1 = b_prev / jnp.maximum(jnp.linalg.norm(b_prev, axis=-1, keepdims=True), 1e-12)
+    r2 = b_cur @ T21[:3, :3]
+    r2 = r2 / jnp.maximum(jnp.linalg.norm(r2, axis=-1, keepdims=True), 1e-12)
+    parallax_ok = jnp.einsum("ni,ni->n", d1, r2) < cfg.min_parallax_cos
+    new_ok = mutual & tri_ok & parallax_ok
+
+    Rp = state.prev_pose_cw[:3, :3]
+    tp = state.prev_pose_cw[:3, 3]
+    pos_w = (pts_c1 - tp) @ Rp          # R^T (p - t)
+    c_prev = -tp @ Rp                   # previous camera center (anchor)
+    ray = pos_w - c_prev
+    depth = jnp.linalg.norm(ray, axis=-1)
+    ray = ray / jnp.maximum(depth[:, None], 1e-9)
+    new_ok = new_ok & (depth > 1e-3)
+
+    # insert into free landmark slots: rank new points, scatter into the
+    # lowest-index invalid slots, drop the overflow
+    free_slots = jnp.argsort(state.lm_valid)          # invalid slots first
+    n_free = state.lm_pos.shape[0] - jnp.sum(state.lm_valid)
+    rank = jnp.cumsum(new_ok) - 1
+    assign = new_ok & (rank < n_free)
+    slot = jnp.where(assign, free_slots[jnp.clip(rank, 0, None)],
+                     state.lm_pos.shape[0])           # OOB index -> dropped
+    lm_pos = state.lm_pos.at[slot].set(pos_w, mode="drop")
+    lm_desc = state.lm_desc.at[slot].set(desc, mode="drop")
+    lm_valid = state.lm_valid.at[slot].set(True, mode="drop")
+    lm_last_seen = state.lm_last_seen.at[slot].set(state.frame_idx,
+                                                   mode="drop")
+    lm_anchor_origin = state.lm_anchor_origin.at[slot].set(
+        jnp.broadcast_to(c_prev, pos_w.shape), mode="drop")
+    lm_anchor_ray = state.lm_anchor_ray.at[slot].set(ray, mode="drop")
+    lm_depth = state.lm_depth.at[slot].set(depth, mode="drop")
+    lm_n_obs = state.lm_n_obs.at[slot].set(2, mode="drop")
+    return (lm_pos, lm_desc, lm_valid, lm_last_seen, lm_anchor_origin,
+            lm_anchor_ray, lm_depth, lm_n_obs, jnp.sum(assign))
+
+
+def make_vo_step(cfg: DeviceVOConfig, camera=None,
+                 settings: Optional[StaticSettings] = None):
+    """Build the per-frame VO update `step(state, (image, odom_delta))`.
+
+    ``odom_delta``: (4, 4) odometry motion prior, cam_t <- cam_{t-1}
+    (the pose-seed delta chain of mapdb.cpp:52-79)."""
+    if settings is None:
+        settings = StaticSettings(Parameters(slam=ParametersSlam(
+            maxKeypoints=cfg.max_keypoints)))
+    spec = _frontend_spec(settings, cfg.width, cfg.height)
+    if camera is None:
+        from slam_tpu.geometry.camera import PinholeCamera
+        camera = PinholeCamera(fx=0.8 * cfg.width, fy=0.8 * cfg.width,
+                               cx=cfg.width / 2.0, cy=cfg.height / 2.0,
+                               width=cfg.width, height=cfg.height)
+    cam_kind, cam_params_np = camera_jax.pack_camera(camera)
+    cam_params = jnp.asarray(cam_params_np)
+    focal = float(cam_params_np[0])
+    n_tracked = 8
+
+    def step(state: VOState, frame_in):
+        image, odom_delta = frame_in
+        txy = jnp.zeros((n_tracked, 2), jnp.float32)
+        tvalid = jnp.zeros((n_tracked,), bool)
+        pts, octv, ang, desc, feat_valid, _ = _extract_impl(
+            image.astype(jnp.float32), txy, tvalid, spec)
+
+        pose_pred = odom_delta @ state.pose_cw
+
+        # --- projection matching + pose-only BA
+        nn_mf, matched = _match_map(state, pts, desc, feat_valid, pose_pred,
+                                    cam_kind, cam_params, cfg)
+        mb = camera_jax.unproject(cam_kind, cam_params, pts[nn_mf])
+        meas = mb[:, :2] / jnp.maximum(mb[:, 2:3], 1e-6)
+        have_map = jnp.sum(matched) >= 6
+        # fresh two-view landmarks carry large depth uncertainty (short
+        # baseline); weight observations by landmark maturity so the pose is
+        # not dragged by unconverged depths (the interactive pipeline's
+        # equivalent guard is joint local BA + chi2 pruning)
+        maturity = jnp.clip((state.lm_n_obs.astype(jnp.float32) - 1.0) / 8.0,
+                            0.125, 1.0)
+        pose_opt = _pose_ba(state, pose_pred, meas, matched, cfg,
+                            focal * maturity)
+        pose_cw = jnp.where(have_map, pose_opt, pose_pred)
+
+        # --- landmark bookkeeping (matched is indexed by landmark row)
+        lm_last_seen = jnp.where(matched, state.frame_idx,
+                                 state.lm_last_seen)
+        feat_claimed = jnp.zeros(pts.shape[0], bool).at[nn_mf].max(matched)
+        free_cur = feat_valid & ~feat_claimed
+
+        # --- anchored-depth refinement from this frame's re-observations
+        lm_pos, lm_depth, lm_n_obs = _refine_depths(state, pose_cw, meas,
+                                                    matched)
+        mid = state._replace(lm_pos=lm_pos, lm_depth=lm_depth,
+                             lm_n_obs=lm_n_obs, lm_last_seen=lm_last_seen)
+
+        (lm_pos, lm_desc, lm_valid, lm_last_seen, lm_anchor_origin,
+         lm_anchor_ray, lm_depth, lm_n_obs, n_new) = _create_landmarks(
+            mid, pose_cw, pts, desc, free_cur, cam_kind, cam_params, cfg)
+
+        # --- staleness culling (cullMapPoints analogue)
+        lm_valid = lm_valid & ((state.frame_idx - lm_last_seen)
+                               <= cfg.stale_age)
+
+        new_state = VOState(
+            pose_cw=pose_cw, lm_pos=lm_pos, lm_desc=lm_desc,
+            lm_valid=lm_valid, lm_last_seen=lm_last_seen,
+            lm_anchor_origin=lm_anchor_origin, lm_anchor_ray=lm_anchor_ray,
+            lm_depth=lm_depth, lm_n_obs=lm_n_obs,
+            prev_pts=pts, prev_desc=desc, prev_free=free_cur,
+            prev_pose_cw=pose_cw, frame_idx=state.frame_idx + 1)
+        return new_state, VOStepOut(pose_cw=pose_cw,
+                                    n_matched=jnp.sum(matched),
+                                    n_new=n_new)
+
+    return step, spec
+
+
+def init_state(cfg: DeviceVOConfig, num_slots: int,
+               pose0_cw: Optional[np.ndarray] = None) -> VOState:
+    M = cfg.lm_capacity
+    pose0 = np.eye(4, dtype=np.float32) if pose0_cw is None else \
+        np.asarray(pose0_cw, np.float32)
+    return VOState(
+        pose_cw=jnp.asarray(pose0),
+        lm_pos=jnp.zeros((M, 3), jnp.float32),
+        lm_desc=jnp.zeros((M, 8), jnp.uint32),
+        lm_valid=jnp.zeros(M, bool),
+        lm_last_seen=jnp.full(M, -1, jnp.int32),
+        lm_anchor_origin=jnp.zeros((M, 3), jnp.float32),
+        lm_anchor_ray=jnp.zeros((M, 3), jnp.float32),
+        lm_depth=jnp.zeros(M, jnp.float32),
+        lm_n_obs=jnp.zeros(M, jnp.int32),
+        prev_pts=jnp.zeros((num_slots, 2), jnp.float32),
+        prev_desc=jnp.zeros((num_slots, 8), jnp.uint32),
+        prev_free=jnp.zeros(num_slots, bool),
+        prev_pose_cw=jnp.asarray(pose0),
+        frame_idx=jnp.asarray(0, jnp.int32))
+
+
+class BatchedDeviceVO:
+    """S sequences x T frames per dispatch; state stays on device.
+
+    `advance(images, odom_deltas)` consumes one (S, T, H, W) uint8 chunk and
+    returns (S, T, 4, 4) poses + stats. Dispatches are asynchronous: chain
+    several chunks before collecting to hide the tunnel round trip."""
+
+    def __init__(self, cfg: DeviceVOConfig, batch: int, camera=None,
+                 settings: Optional[StaticSettings] = None):
+        self.cfg = cfg
+        self.batch = batch
+        step, spec = make_vo_step(cfg, camera=camera, settings=settings)
+        budgets = spec[1]
+        self.num_slots = 8 + sum(budgets)
+
+        def chunk(state, images, odom_deltas):
+            return jax.lax.scan(step, state, (images, odom_deltas))
+
+        self._chunk = jax.jit(jax.vmap(chunk))
+        self.state = jax.tree.map(
+            lambda x: jnp.broadcast_to(x, (batch,) + x.shape),
+            init_state(cfg, self.num_slots))
+
+    def advance(self, images: np.ndarray, odom_deltas: np.ndarray):
+        """images: (S, T, H, W); odom_deltas: (S, T, 4, 4)."""
+        self.state, out = self._chunk(self.state,
+                                      jnp.asarray(images),
+                                      jnp.asarray(odom_deltas))
+        return out

@@ -1,0 +1,136 @@
+"""Device-resident batched VO backend: correctness on rendered frames.
+
+The serving-path counterpart of the interactive pipeline: verifies the
+whole scan-over-frames, vmap-over-sequences program tracks a known
+trajectory from real rendered images with the map state living on device
+(slam_tpu/pipeline/device_vo.py)."""
+import numpy as np
+import pytest
+
+from synthetic_world import default_camera, make_world, visible_landmarks
+
+from slam_tpu.geometry import se3
+from slam_tpu.pipeline.device_vo import (BatchedDeviceVO, DeviceVOConfig,
+                                         make_vo_step)
+
+
+def _render_frames(world, n_frames, seed=0, patch=9, z_ref=4.0):
+    """Perspective-correct landmark billboards: each landmark carries a
+    fronto-parallel textured quad whose on-screen size scales with 1/depth,
+    so detected texture corners correspond to (approximately) fixed 3D
+    points — constant-size sprites would bias the VO geometry."""
+    rng = np.random.default_rng(seed)
+    n_land = len(world.landmarks)
+    patches = rng.integers(40, 255, (n_land, patch, patch)).astype(np.uint8)
+    w, h = world.camera.width, world.camera.height
+    r = patch // 2
+    frames = []
+    lms_h = np.concatenate([world.landmarks, np.ones((n_land, 1))], axis=1)
+    for i in range(n_frames):
+        img = np.full((h, w), 20, np.uint8)
+        z = (lms_h @ world.poses_cw[i].T)[:, 2]
+        vis, pix = visible_landmarks(world, i, margin=float(r + 1))
+        for li in vis:
+            m = max(z_ref / max(z[li], 0.5), 0.25)
+            half = max(1, int(round(r * m)))
+            cx, cy = pix[li, 0], pix[li, 1]
+            ys = np.arange(int(round(cy)) - half, int(round(cy)) + half + 1)
+            xs = np.arange(int(round(cx)) - half, int(round(cx)) + half + 1)
+            ys = ys[(ys >= 0) & (ys < h)]
+            xs = xs[(xs >= 0) & (xs < w)]
+            if len(ys) == 0 or len(xs) == 0:
+                continue
+            sy = np.clip(np.round((ys - cy) / m + r).astype(int), 0, patch - 1)
+            sx = np.clip(np.round((xs - cx) / m + r).astype(int), 0, patch - 1)
+            img[np.ix_(ys, xs)] = patches[li][np.ix_(sy, sx)]
+        frames.append(img)
+    return np.stack(frames)
+
+
+@pytest.mark.slow
+class TestBatchedDeviceVO:
+    def test_tracks_rendered_trajectory(self):
+        T = 12
+        cam = default_camera(320, 240)
+        world = make_world(n_frames=T, n_landmarks=500, seed=2,
+                           trajectory="line", camera=cam)
+        frames = _render_frames(world, T)
+
+        # odometry deltas from the (noise-free) ground truth: the VO step
+        # must keep the pose consistent while building a device-side map
+        deltas = np.stack(
+            [np.eye(4, dtype=np.float32)]
+            + [(world.poses_cw[i] @ np.linalg.inv(world.poses_cw[i - 1]))
+               .astype(np.float32) for i in range(1, T)])
+
+        cfg = DeviceVOConfig(width=320, height=240, lm_capacity=512,
+                             max_keypoints=300)
+        vo = BatchedDeviceVO(cfg, batch=2, camera=cam)
+        images = np.stack([frames, frames])          # two identical sequences
+        odo = np.stack([deltas, deltas])
+        vo.state = vo.state._replace(pose_cw=np.stack(
+            [world.poses_cw[0].astype(np.float32)] * 2),
+            prev_pose_cw=np.stack([world.poses_cw[0].astype(np.float32)] * 2))
+        out = vo.advance(images, odo)
+
+        poses = np.asarray(out.pose_cw)              # (2, T, 4, 4)
+        assert np.isfinite(poses).all()
+        n_matched = np.asarray(out.n_matched)
+        n_new = np.asarray(out.n_new)
+        # the map fills up and matching engages after the first frames
+        assert n_new[:, 1].min() >= 20, n_new[:, :3]
+        assert n_matched[:, 3:].min() >= 20, n_matched
+        # both sequences are identical => identical results
+        assert np.allclose(poses[0], poses[1])
+        # pose error stays near ground truth (odometry prior is exact here;
+        # the test fails if the matching/BA stages corrupt the pose)
+        errs = [np.linalg.norm(se3.camera_center(poses[0, i])
+                               - se3.camera_center(world.poses_cw[i]))
+                for i in range(T)]
+        assert max(errs) < 0.05, errs
+
+    def test_pose_ba_corrects_drifting_odometry(self):
+        """With systematically drifting odometry deltas, matching against
+        the device-side map must keep the pose closer to the ground truth
+        than the raw odometry chain."""
+        T = 20
+        cam = default_camera(320, 240)
+        world = make_world(n_frames=T, n_landmarks=600, seed=4,
+                           trajectory="line", camera=cam)
+        frames = _render_frames(world, T, seed=1)
+        rng = np.random.default_rng(5)
+
+        deltas = [np.eye(4, dtype=np.float32)]
+        noisy_chain = [world.poses_cw[0].astype(np.float32)]
+        drift = np.zeros(3)
+        for i in range(1, T):
+            true_delta = (world.poses_cw[i]
+                          @ np.linalg.inv(world.poses_cw[i - 1]))
+            drift = drift + rng.normal(0, 4e-3, 3)
+            xi = np.concatenate([rng.normal(0, 5e-4, 3),
+                                 rng.normal(0, 1e-3, 3) + drift])
+            nd = (se3.se3_exp(xi) @ true_delta).astype(np.float32)
+            deltas.append(nd)
+            noisy_chain.append((nd @ noisy_chain[-1]).astype(np.float32))
+        deltas = np.stack(deltas)
+
+        cfg = DeviceVOConfig(width=320, height=240, lm_capacity=512,
+                             max_keypoints=300)
+        vo = BatchedDeviceVO(cfg, batch=1, camera=cam)
+        vo.state = vo.state._replace(
+            pose_cw=world.poses_cw[0].astype(np.float32)[None],
+            prev_pose_cw=world.poses_cw[0].astype(np.float32)[None])
+        out = vo.advance(frames[None], deltas[None])
+        poses = np.asarray(out.pose_cw)[0]
+
+        vo_err = np.mean([np.linalg.norm(
+            se3.camera_center(poses[i])
+            - se3.camera_center(world.poses_cw[i])) for i in range(4, T)])
+        odo_err = np.mean([np.linalg.norm(
+            se3.camera_center(noisy_chain[i])
+            - se3.camera_center(world.poses_cw[i])) for i in range(4, T)])
+        assert np.isfinite(poses).all()
+        assert vo_err < odo_err, (vo_err, odo_err)
+        # the injected drift reaches ~2cm/frame by the end of the sequence;
+        # VO must hold the mean error well under the odometry chain's
+        assert vo_err < 0.15, vo_err
