@@ -127,3 +127,40 @@ class TestScale:
                                - se3.camera_center(world.poses_cw[int(kf.id)]))
                 for kf in db.keyframes.values()]
         assert np.median(errs) < 0.2, np.median(errs)
+
+    def test_config5_scale_host_time_bounded(self):
+        """Config-5 analog: grow the map to 500+ surviving keyframes with
+        retrieval + loop closure enabled, and assert per-frame host time does
+        NOT grow with map size (catches O(K^2) retrieval scans, linear
+        neighbor walks, anything that creeps with K — reference bar:
+        loop_closer.cpp:149 candidate-cap semantics keep per-frame cost flat
+        at KITTI scale)."""
+        import time as _time
+
+        n_frames = 520
+        world = make_world(n_frames=n_frames, n_landmarks=6000,
+                           trajectory="line", odom_noise=0.001, seed=13)
+        # every frame becomes a keyframe (covisibility gate disabled) and
+        # culling is off: the synthetic line world has high inter-frame
+        # overlap, so reference culling semantics would (correctly) collapse
+        # the map — here we *want* K to reach config-5 scale to measure how
+        # per-frame host cost grows with it
+        params = _params(adjacentSpaceSize=6, localBAProblemSize=10,
+                         keyframeDecisionCovisibilityRatio=1.0,
+                         keyframeCullMaxCriticalRatio=0.0)
+        tracker = TrackSimulator(world, max_tracks=60)
+        extractor = FakeOrbExtractor(world, tracker)
+        mapper = Mapper(params, orb_extractor=extractor)
+        frame_ms = np.zeros(n_frames)
+        for i in range(n_frames):
+            t0 = _time.perf_counter()
+            mapper.advance(make_mapper_input(world, i, tracker))
+            frame_ms[i] = 1e3 * (_time.perf_counter() - t0)
+        db = mapper.map_db
+        assert len(db.keyframes) >= 500, len(db.keyframes)
+        check_consistency(db)
+        # warmup (compiles, first bucket transitions) lives in the first
+        # quarter; steady state must not degrade as K quadruples
+        early = np.median(frame_ms[n_frames // 4: n_frames // 2])
+        late = np.median(frame_ms[-n_frames // 4:])
+        assert late < 2.5 * early, (early, late)

@@ -126,6 +126,76 @@ class TestPyramid:
             assert pyr.levels[lvl].shape == (h, w)
 
 
+@pytest.mark.slow
+class TestFullGeometryGolden:
+    """BASELINE config 1 at the reference's real geometry: 752x480, 8-level
+    pyramid (orb_extractor.cpp:73-164). The small-geometry tests above prove
+    the arithmetic; this proves it at the production shapes (tiling, padding
+    and edge handling differ with size)."""
+
+    def test_config1_pyramid_and_descriptors(self):
+        W, H = 752, 480
+        img = random_image(H, W)
+        settings = StaticSettings()
+        pyr = ImagePyramid(settings, W, H).update(img)
+        assert pyr.num_levels == 8 and pyr.sizes[0] == (W, H)
+
+        # Pyramid parity per resize/blur step at full frame. Each device
+        # level is checked against the float64 reference resize of the
+        # device's own previous level, isolating one step so rounding
+        # differences can't compound. +-1 gray level is the documented
+        # float-vs-fixed-point deviation (docs/ARCHITECTURE.md §4.2) at .5
+        # rounding ties; mean error must stay tiny.
+        for lvl in range(1, pyr.num_levels):
+            w, h = pyr.sizes[lvl]
+            prev = np.asarray(pyr.levels[lvl - 1]).astype(np.float64)
+            want = np.rint(np.clip(ref_orb.ref_bilinear_resize(prev, h, w),
+                                   0, 255))
+            got = np.asarray(pyr.levels[lvl])
+            assert got.shape == (h, w)
+            assert np.abs(got - want).max() <= 1.0, f"level {lvl}"
+            assert np.abs(got - want).mean() < 0.3, f"level {lvl}"
+        for lvl in range(pyr.num_levels):
+            lvl_img = np.asarray(pyr.levels[lvl]).astype(np.float64)
+            want_b = np.rint(ref_orb.ref_gaussian_blur_7x7_s2(lvl_img))
+            got_b = np.asarray(pyr.blurred[lvl])
+            assert np.abs(got_b - want_b).max() <= 1.0, f"blur level {lvl}"
+            assert np.abs(got_b - want_b).mean() < 0.3, f"blur level {lvl}"
+
+        # Angle + descriptor bit-equality on ~200 sampled interior keypoints
+        # per level, against the scalar reference math on the same (device)
+        # blurred level, as the extractor computes them
+        # (orb_extractor.cpp:141-164: angles on the level image, descriptors
+        # on the blurred level image).
+        kp_rng = np.random.default_rng(42)
+        for lvl in range(pyr.num_levels):
+            w, h = pyr.sizes[lvl]
+            n = 200
+            pts = np.stack([kp_rng.integers(20, w - 20, n),
+                            kp_rng.integers(20, h - 20, n)], -1)
+            lvl_img = np.asarray(pyr.levels[lvl])
+            blur_img = np.asarray(pyr.blurred[lvl])
+            patches_lvl = orb.extract_patches(
+                jnp.asarray(lvl_img, jnp.float32),
+                jnp.asarray(pts, jnp.float32))
+            angles = np.asarray(orb.ic_angles(patches_lvl))
+            want_angles = np.array(
+                [ref_orb.ref_ic_angle(lvl_img, int(x), int(y))
+                 for x, y in pts])
+            assert np.allclose(angles, want_angles, atol=1e-2), \
+                f"angles level {lvl}: {np.abs(angles - want_angles).max()}"
+            patches_blur = orb.extract_patches(
+                jnp.asarray(blur_img, jnp.float32),
+                jnp.asarray(pts, jnp.float32))
+            got_desc = np.asarray(orb.descriptors_from_patches(
+                patches_blur, jnp.asarray(angles, jnp.float32)))
+            for i, (x, y) in enumerate(pts):
+                want_words = ref_orb.bytes_to_words(ref_orb.ref_descriptor(
+                    blur_img, int(x), int(y), angles[i]))
+                assert np.array_equal(got_desc[i], want_words), \
+                    f"descriptor bits differ: level {lvl} kp {i} ({x},{y})"
+
+
 class TestDetector:
     def test_shi_tomasi_finds_corner(self):
         img = np.zeros((64, 64), np.float32)
