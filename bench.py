@@ -304,6 +304,8 @@ def bench_device_vo(n_sequences=4, chunk=8, n_chunks=6, width=640, height=480):
     out = vo.advance(images[:, :chunk], deltas[:, :chunk])
     jax.device_get(out.pose_cw)
 
+    # fresh session: hits the module-level compiled-program cache, so only
+    # state re-init is paid (verifies no per-instance compile leak)
     vo2 = BatchedDeviceVO(cfg, batch=n_sequences, camera=cam)
     t0 = time.perf_counter()
     outs = []

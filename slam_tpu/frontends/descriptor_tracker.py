@@ -78,25 +78,47 @@ class DescriptorTracker:
         from slam_tpu import native
 
         prev = self._prev
-        prev_ids = self._prev_track_ids
-        dist = native.hamming_matrix(res.descriptors, prev.descriptors)
+        best_j = native.match_tracker(
+            res.descriptors, res.pts, prev.descriptors, prev.pts,
+            self.max_motion_px, self.match_threshold, self.lowe_ratio)
+        if best_j is None:
+            best_j = self._match_to_prev_numpy(
+                res.descriptors, res.pts, prev.descriptors, prev.pts)
+        return self._carry_ids(best_j)
+
+    def _match_to_prev_numpy(self, desc_cur, pts_cur, desc_prev,
+                             pts_prev) -> np.ndarray:
+        """Semantics reference for native.match_tracker (kept in lockstep;
+        cross-checked in tests/test_native_and_misc.py). Returns (N,) int64
+        previous-frame index per current keypoint, -1 for no match."""
+        from slam_tpu import native
+
+        n = len(pts_cur)
+        dist = native.hamming_matrix(desc_cur, desc_prev)
         # motion gate: matches farther than max_motion_px are implausible
-        d2 = np.sum((res.pts[:, None, :] - prev.pts[None, :, :]) ** 2, axis=-1)
+        d2 = np.sum((pts_cur[:, None, :] - pts_prev[None, :, :]) ** 2,
+                    axis=-1)
         dist = np.where(d2 <= self.max_motion_px ** 2, dist, 10_000)
 
-        order = np.argsort(dist, axis=1)[:, :2]
+        # stable: on distance ties the lowest index wins, matching the
+        # native op's strict '<' first-minimum scan
+        order = np.argsort(dist, axis=1, kind="stable")[:, :2]
         best_j = order[:, 0]
-        best = dist[np.arange(len(res.pts)), best_j]
-        second = (dist[np.arange(len(res.pts)), order[:, 1]]
-                  if dist.shape[1] > 1 else np.full(len(res.pts), 256))
+        best = dist[np.arange(n), best_j]
+        second = (dist[np.arange(n), order[:, 1]]
+                  if dist.shape[1] > 1 else np.full(n, 256))
         ok = (best <= self.match_threshold) & (best < self.lowe_ratio * second)
         # symmetry: previous keypoint must also prefer this one
         back = np.argmin(dist, axis=0)
-        ok &= back[best_j] == np.arange(len(res.pts))
-        # carry ids one-to-one, first-wins
-        track_ids = np.full(len(res.pts), -1, np.int64)
+        ok &= back[best_j] == np.arange(n)
+        return np.where(ok, best_j, -1).astype(np.int64)
+
+    def _carry_ids(self, best_j: np.ndarray) -> np.ndarray:
+        """Carry track ids one-to-one, first-wins over current index."""
+        prev_ids = self._prev_track_ids
+        track_ids = np.full(len(best_j), -1, np.int64)
         used = set()
-        for i in np.where(ok)[0]:
+        for i in np.where(best_j >= 0)[0]:
             tid = int(prev_ids[best_j[i]])
             if tid >= 0 and tid not in used:
                 track_ids[i] = tid

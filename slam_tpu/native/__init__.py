@@ -48,7 +48,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        path = _LIB_PATH if os.path.exists(_LIB_PATH) else _build()
+        fresh = (os.path.exists(_LIB_PATH)
+                 and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC))
+        path = _LIB_PATH if fresh else _build()
         if path is None:
             return None
         try:
@@ -95,6 +97,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
             f32p, f32p, i64p, ctypes.c_int64, u32p, i32p, u8p,
             f32p, f32p, f32p, u32p, ctypes.c_int64,
             ctypes.c_int32, ctypes.c_double, i64p]
+        lib.match_tracker.argtypes = [
+            u32p, f32p, ctypes.c_int64, u32p, f32p, ctypes.c_int64,
+            ctypes.c_double, ctypes.c_int32, ctypes.c_double, i64p]
         _lib = lib
         return _lib
 
@@ -309,6 +314,29 @@ def project_greedy_claim(xs_sorted, ys_sorted, order, descs, octaves, owned,
                              qx, qy, qr, qdesc, c,
                              np.int32(thr_high), float(lowe), matched)
     return matched
+
+
+def match_tracker(desc_cur, pts_cur, desc_prev, pts_prev,
+                  max_motion: float, thr: int,
+                  lowe: float) -> Optional[np.ndarray]:
+    """Fused frame-to-frame tracker matching (NumPy twin:
+    frontends/descriptor_tracker._match_to_prev_numpy). For each current
+    keypoint: best/second Hamming among previous keypoints within the motion
+    radius, absolute + Lowe gates, mutual-best check. Returns (N,) int64
+    previous-index array with -1 for no match, or None when the native
+    library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    desc_cur = np.ascontiguousarray(desc_cur, np.uint32)
+    desc_prev = np.ascontiguousarray(desc_prev, np.uint32)
+    pts_cur = np.ascontiguousarray(pts_cur, np.float32)
+    pts_prev = np.ascontiguousarray(pts_prev, np.float32)
+    out = np.empty(len(desc_cur), np.int64)
+    lib.match_tracker(desc_cur, pts_cur, len(desc_cur),
+                      desc_prev, pts_prev, len(desc_prev),
+                      float(max_motion), np.int32(thr), float(lowe), out)
+    return out
 
 
 def create_random_array(n: int, lo: int, hi: int,

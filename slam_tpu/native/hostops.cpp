@@ -376,6 +376,62 @@ void project_greedy_claim(
 }
 
 // ---------------------------------------------------------------------------
+// Fused frame-to-frame tracker matching (DescriptorTracker._match_to_prev
+// NumPy twin in frontends/descriptor_tracker.py). One pass over the pair
+// grid replaces three dense host matrices (Hamming NxM, pixel-distance NxM,
+// row argsort): per current-keypoint best + second-best Hamming within the
+// motion radius, Lowe ratio + absolute threshold, and the mutual-best check
+// via column minima accumulated in the same sweep. Scan order is ascending
+// index with strict '<' so best/back agree exactly with the NumPy
+// argsort/argmin (first-minimum) semantics.
+// ---------------------------------------------------------------------------
+
+void match_tracker(
+    const uint32_t* desc1, const float* pts1, int64_t n1,   // current frame
+    const uint32_t* desc2, const float* pts2, int64_t n2,   // previous frame
+    double max_motion, int32_t thr, double lowe, int64_t* best_out) {
+    const float r2 = (float)(max_motion * max_motion);
+    // column minima over gated rows; NumPy argmin over an all-masked (10000)
+    // column returns 0, so initialize col_bi to 0
+    std::vector<int32_t> col_bd(n2, INT32_MAX);
+    std::vector<int64_t> col_bi(n2, 0);
+    std::vector<int32_t> row_bd(n1), row_sd(n1);
+    std::vector<int64_t> row_bj(n1, -1);
+    for (int64_t i = 0; i < n1; ++i) {
+        const uint32_t* di = desc1 + 8 * i;
+        const float xi = pts1[2 * i], yi = pts1[2 * i + 1];
+        // ungated entries carry the mask value 10000 in the NumPy twin, so
+        // with >1 previous keypoints the second-best floor is 10000 (256
+        // when there is only one column, mirroring the twin's edge case)
+        int32_t bd = INT32_MAX, sd = n2 > 1 ? 10000 : 256;
+        int64_t bj = -1;
+        for (int64_t j = 0; j < n2; ++j) {
+            const float dx = xi - pts2[2 * j], dy = yi - pts2[2 * j + 1];
+            if (dx * dx + dy * dy > r2) continue;
+            const int d = desc_distance(di, desc2 + 8 * j);
+            if (d < bd) {
+                if (bj >= 0) sd = bd;
+                bd = d;
+                bj = j;
+            } else if (d < sd) {
+                sd = d;
+            }
+            if (d < col_bd[j]) { col_bd[j] = d; col_bi[j] = i; }
+        }
+        row_bd[i] = bd;
+        row_sd[i] = sd;
+        row_bj[i] = bj;
+    }
+    for (int64_t i = 0; i < n1; ++i) {
+        const int64_t j = row_bj[i];
+        const bool ok = j >= 0 && row_bd[i] <= thr &&
+                        (double)row_bd[i] < lowe * (double)row_sd[i] &&
+                        col_bi[j] == i;
+        best_out[i] = ok ? j : -1;
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Deterministic unique random index arrays (reference: random_array.cc:21-62)
 // Thread-local MT19937 with the reference's fixed seed.
 // ---------------------------------------------------------------------------

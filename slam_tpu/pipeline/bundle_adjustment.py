@@ -96,6 +96,11 @@ def loop_edge_information(parameters) -> np.ndarray:
 
 def _sqrt_info(info: np.ndarray) -> np.ndarray:
     """Whitening factor S with S^T S = info (use L^T from info = L L^T)."""
+    d = np.diagonal(info)
+    if not (info - np.diag(d)).any():
+        # diagonal info (odometry priors, loop edges, anchors): exact sqrt
+        # without the eigendecomposition that dominated edge addition
+        return np.diag(np.sqrt(np.clip(d, 0.0, None)))
     # tolerate rank-deficient info (e.g. rotation-only anchors)
     w, V = np.linalg.eigh((info + info.T) / 2.0)
     w = np.clip(w, 0.0, None)

@@ -121,34 +121,85 @@ def _match_map(state: VOState, pts, desc, feat_valid, pose_pred,
 
 def _pose_ba(state: VOState, pose_pred, meas_xy, matched,
              cfg: DeviceVOConfig, obs_weight):
-    """Pose-only bundle adjust with the production LM solver
-    (poseBundleAdjust semantics, bundle_adjuster.cpp:396-491): previous pose
-    fixed, all landmarks fixed, one odometry-prior edge carrying the
-    odometry-predicted relative pose."""
-    M = state.lm_pos.shape[0]
+    """Pose-only bundle adjust (poseBundleAdjust semantics,
+    bundle_adjuster.cpp:396-491): previous pose fixed, all landmarks fixed,
+    one odometry-prior edge carrying the odometry-predicted relative pose.
+
+    Specialized single-pose LM instead of the generic `ba._lm_run`: with one
+    free vertex and fixed points the Schur system collapses to a 6x6 normal
+    equation, so the generic solver's 512 Hll block inverses and dense Schur
+    assembly are pure serial-latency waste inside the scanned step (measured
+    ~2 ms/frame of the VO chain). Same math throughout: identical Huber
+    weighting, cost, damping schedule and accept/reject rule as `ba._lm_run`
+    on the equivalent 2-pose problem."""
+    from slam_tpu.ops import lie
+
+    huber_delta = jnp.float32(np.sqrt(5.991))
     sqrt_info = jnp.diag(jnp.asarray(
         [cfg.odom_rot_weight] * 3 + [cfg.odom_pos_weight] * 3, jnp.float32))
-    problem = ba.BAProblem(
-        poses=jnp.stack([state.prev_pose_cw, pose_pred]),
-        pose_fixed=jnp.asarray([True, False]),
-        points=state.lm_pos,
-        points_fixed=jnp.ones(M, bool),
-        obs_kf=jnp.ones(M, jnp.int32),
-        obs_mp=jnp.arange(M, dtype=jnp.int32),
-        obs_meas=meas_xy.astype(jnp.float32),
-        obs_sqrt_info=jnp.broadcast_to(obs_weight, (M,)).astype(jnp.float32),
-        obs_valid=matched,
-        pe_a=jnp.zeros(1, jnp.int32), pe_b=jnp.ones(1, jnp.int32),
-        pe_meas=(pose_pred @ jnp.linalg.inv(state.prev_pose_cw))[None],
-        pe_sqrt_info=sqrt_info[None],
-        pe_valid=jnp.ones(1, bool),
-        pr_idx=jnp.zeros(1, jnp.int32),
-        pr_meas=jnp.eye(4, dtype=jnp.float32)[None],
-        pr_sqrt_info=jnp.zeros((1, 6, 6), jnp.float32),
-        pr_valid=jnp.zeros(1, bool))
-    res = ba._lm_run(problem, iterations=cfg.ba_iterations, cg_iters=0,
-                     huber_delta=float(np.sqrt(5.991)), init_lambda=1e-4)
-    return res.poses[1]
+    C = pose_pred @ jnp.linalg.inv(state.prev_pose_cw)   # odometry edge meas
+    B = state.prev_pose_cw
+    X = state.lm_pos
+    si = jnp.broadcast_to(obs_weight, (X.shape[0],)).astype(jnp.float32)
+    valid = matched
+
+    def reproj_terms(T):
+        pc = X @ T[:3, :3].T + T[:3, 3]
+        z = pc[:, 2]
+        zsafe = jnp.where(jnp.abs(z) > 1e-6, z, 1e-6)
+        pred = pc[:, :2] / zsafe[:, None]
+        r = (pred - meas_xy) * si[:, None]
+        chi2 = jnp.sum(r * r, axis=1)
+        rnorm = jnp.sqrt(jnp.maximum(chi2, 1e-12))
+        w = jnp.where(valid, jnp.minimum(1.0, huber_delta / rnorm), 0.0)
+        inv_z = 1.0 / zsafe
+        Jproj = jnp.stack([
+            jnp.stack([inv_z, jnp.zeros_like(z), -pc[:, 0] * inv_z * inv_z],
+                      axis=-1),
+            jnp.stack([jnp.zeros_like(z), inv_z, -pc[:, 1] * inv_z * inv_z],
+                      axis=-1)], axis=1)                     # (M, 2, 3)
+        Jp_pose = jnp.concatenate(
+            [-lie.skew(pc), jnp.broadcast_to(jnp.eye(3, dtype=pc.dtype),
+                                             (pc.shape[0], 3, 3))], axis=-1)
+        J = (Jproj @ Jp_pose) * (si * jnp.sqrt(w))[:, None, None]  # (M, 2, 6)
+        r_w = r * jnp.sqrt(w)[:, None]
+        return r_w, J, jnp.where(valid, chi2, 0.0)
+
+    def edge_r(xi, T):
+        # EdgeSE3Expmap error with the free (current) pose in the b slot:
+        # e = log(inv(exp(xi) T_cur) @ C @ T_prev); zero at T_cur = C T_prev
+        return sqrt_info @ lie.se3_log(
+            lie.se3_inverse(lie.se3_exp(xi) @ T) @ C @ B)
+
+    zero6 = jnp.zeros(6, jnp.float32)
+
+    def cost_of(T):
+        _, _, chi2 = reproj_terms(T)
+        cost = jnp.sum(ba._robust_cost(chi2, None, huber_delta) * valid)
+        re = edge_r(zero6, T)
+        return cost + jnp.sum(re * re)
+
+    def lm_step(carry, _):
+        T, lam, cost = carry
+        r_w, J, _ = reproj_terms(T)
+        re = edge_r(zero6, T)
+        Je = jax.jacfwd(lambda xi: edge_r(xi, T))(zero6)     # (6, 6)
+        H = (jnp.einsum("oci,ocj->ij", J, J) + Je.T @ Je
+             + (lam + 1e-8) * jnp.eye(6, dtype=jnp.float32))
+        b = -(jnp.einsum("oci,oc->i", J, r_w) + Je.T @ re)
+        dx = jnp.linalg.solve(H, b)
+        new_T = lie.se3_exp(dx) @ T
+        new_cost = cost_of(new_T)
+        accept = new_cost < cost
+        T = jnp.where(accept, new_T, T)
+        cost = jnp.where(accept, new_cost, cost)
+        lam = jnp.clip(jnp.where(accept, lam * 0.5, lam * 4.0), 1e-9, 1e6)
+        return (T, lam, cost), None
+
+    (T, _, _), _ = jax.lax.scan(
+        lm_step, (pose_pred, jnp.float32(1e-4), cost_of(pose_pred)),
+        None, length=cfg.ba_iterations)
+    return T
 
 
 def _refine_depths(state: VOState, pose_cw, meas_xy, matched):
@@ -252,21 +303,32 @@ def _create_landmarks(state: VOState, pose_cw, pts, desc, free_cur,
             lm_anchor_ray, lm_depth, lm_n_obs, jnp.sum(assign))
 
 
+def _resolve_camera(cfg: DeviceVOConfig, camera):
+    if camera is None:
+        from slam_tpu.geometry.camera import PinholeCamera
+        camera = PinholeCamera(fx=0.8 * cfg.width, fy=0.8 * cfg.width,
+                               cx=cfg.width / 2.0, cy=cfg.height / 2.0,
+                               width=cfg.width, height=cfg.height)
+    return camera
+
+
+def _resolve_settings(cfg: DeviceVOConfig,
+                      settings: Optional[StaticSettings]) -> StaticSettings:
+    if settings is None:
+        settings = StaticSettings(Parameters(slam=ParametersSlam(
+            maxKeypoints=cfg.max_keypoints)))
+    return settings
+
+
 def make_vo_step(cfg: DeviceVOConfig, camera=None,
                  settings: Optional[StaticSettings] = None):
     """Build the per-frame VO update `step(state, (image, odom_delta))`.
 
     ``odom_delta``: (4, 4) odometry motion prior, cam_t <- cam_{t-1}
     (the pose-seed delta chain of mapdb.cpp:52-79)."""
-    if settings is None:
-        settings = StaticSettings(Parameters(slam=ParametersSlam(
-            maxKeypoints=cfg.max_keypoints)))
+    settings = _resolve_settings(cfg, settings)
     spec = _frontend_spec(settings, cfg.width, cfg.height)
-    if camera is None:
-        from slam_tpu.geometry.camera import PinholeCamera
-        camera = PinholeCamera(fx=0.8 * cfg.width, fy=0.8 * cfg.width,
-                               cx=cfg.width / 2.0, cy=cfg.height / 2.0,
-                               width=cfg.width, height=cfg.height)
+    camera = _resolve_camera(cfg, camera)
     cam_kind, cam_params_np = camera_jax.pack_camera(camera)
     cam_params = jnp.asarray(cam_params_np)
     focal = float(cam_params_np[0])
@@ -353,32 +415,83 @@ def init_state(cfg: DeviceVOConfig, num_slots: int,
         frame_idx=jnp.asarray(0, jnp.int32))
 
 
+# Compiled scan-over-frames programs keyed by everything that shapes the
+# traced computation. Remote TPU compiles run ~30 s and jit caches per
+# function *object*, so a fresh closure per BatchedDeviceVO instance would
+# recompile an identical program every time a session is (re)created — the
+# cache makes new instances free after the first (CLAUDE.md compile-leak
+# rule; same role as matcher._bucket / bundle_adjustment._pad).
+_CHUNK_CACHE: dict = {}
+
+
 class BatchedDeviceVO:
     """S sequences x T frames per dispatch; state stays on device.
 
     `advance(images, odom_deltas)` consumes one (S, T, H, W) uint8 chunk and
     returns (S, T, 4, 4) poses + stats. Dispatches are asynchronous: chain
-    several chunks before collecting to hide the tunnel round trip."""
+    several chunks before collecting to hide the tunnel round trip.
+
+    Multi-chip: pass ``mesh`` (first axis = data axis) to shard the S
+    sequences across devices. Per-sequence state and per-chunk inputs are
+    placed with a batch-leading ``NamedSharding`` and GSPMD partitions the
+    vmapped scan — sequences are independent, so no collectives are inserted
+    and scaling is linear in chips (SURVEY.md §2: optional batch axis over
+    the real workload)."""
 
     def __init__(self, cfg: DeviceVOConfig, batch: int, camera=None,
-                 settings: Optional[StaticSettings] = None):
+                 settings: Optional[StaticSettings] = None, mesh=None):
         self.cfg = cfg
         self.batch = batch
-        step, spec = make_vo_step(cfg, camera=camera, settings=settings)
+        self._sharding = None
+        if mesh is not None:
+            from slam_tpu.parallel.mesh import batch_sharding
+            axis = mesh.axis_names[0]
+            assert batch % mesh.shape[axis] == 0, (
+                f"batch {batch} not divisible by mesh axis "
+                f"'{axis}'={mesh.shape[axis]}")
+            self._sharding = batch_sharding(mesh, axis)
+        camera = _resolve_camera(cfg, camera)
+        settings = _resolve_settings(cfg, settings)
+        spec = _frontend_spec(settings, cfg.width, cfg.height)
         budgets = spec[1]
         self.num_slots = 8 + sum(budgets)
 
-        def chunk(state, images, odom_deltas):
-            return jax.lax.scan(step, state, (images, odom_deltas))
+        cam_kind, cam_params_np = camera_jax.pack_camera(camera)
+        key = (cfg, spec, cam_kind,
+               np.asarray(cam_params_np, np.float32).tobytes())
+        fn = _CHUNK_CACHE.get(key)
+        if fn is None:
+            step, _ = make_vo_step(cfg, camera=camera, settings=settings)
 
-        self._chunk = jax.jit(jax.vmap(chunk))
+            def chunk(state, images, odom_deltas):
+                return jax.lax.scan(step, state, (images, odom_deltas))
+
+            fn = jax.jit(jax.vmap(chunk))
+            _CHUNK_CACHE[key] = fn
+        self._chunk = fn
+        self.reset()
+
+    def reset(self, poses0_cw: Optional[np.ndarray] = None):
+        """Re-initialize all sequence states (optionally at given (S, 4, 4)
+        world->camera start poses) without touching the compiled program."""
+        base = init_state(self.cfg, self.num_slots)
         self.state = jax.tree.map(
-            lambda x: jnp.broadcast_to(x, (batch,) + x.shape),
-            init_state(cfg, self.num_slots))
+            lambda x: jnp.broadcast_to(x, (self.batch,) + x.shape), base)
+        if poses0_cw is not None:
+            p = jnp.asarray(poses0_cw, jnp.float32)
+            self.state = self.state._replace(pose_cw=p, prev_pose_cw=p)
+        if self._sharding is not None:
+            # computation follows data: sharded state + inputs make jit
+            # partition the whole scan over the mesh, no in_shardings needed
+            self.state = jax.device_put(self.state, self._sharding)
+
+    def _put(self, x):
+        if self._sharding is not None:
+            return jax.device_put(np.asarray(x), self._sharding)
+        return jnp.asarray(x)
 
     def advance(self, images: np.ndarray, odom_deltas: np.ndarray):
         """images: (S, T, H, W); odom_deltas: (S, T, 4, 4)."""
-        self.state, out = self._chunk(self.state,
-                                      jnp.asarray(images),
-                                      jnp.asarray(odom_deltas))
+        self.state, out = self._chunk(self.state, self._put(images),
+                                      self._put(odom_deltas))
         return out

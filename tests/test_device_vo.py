@@ -47,6 +47,68 @@ def _render_frames(world, n_frames, seed=0, patch=9, z_ref=4.0):
     return np.stack(frames)
 
 
+class TestMeshShardedVO:
+    def test_sharded_matches_unsharded(self):
+        """S sequences sharded over an 8-device data mesh must produce the
+        same poses as the single-device run (sequences are independent, so
+        GSPMD partitions the vmapped scan with no cross-device math)."""
+        import jax
+        from slam_tpu.parallel.mesh import make_mesh
+
+        cam = default_camera(160, 120)
+        cfg = DeviceVOConfig(width=160, height=120, lm_capacity=32,
+                             max_keypoints=60, ba_iterations=2)
+        S, T = 8, 3
+        rng = np.random.default_rng(3)
+        images = rng.integers(0, 256, (S, T, 120, 160)).astype(np.uint8)
+        deltas = np.broadcast_to(np.eye(4, dtype=np.float32),
+                                 (S, T, 4, 4)).copy()
+
+        plain = BatchedDeviceVO(cfg, batch=S, camera=cam)
+        out_plain = plain.advance(images, deltas)
+
+        mesh = make_mesh(8, axis_names=("data",))
+        sharded = BatchedDeviceVO(cfg, batch=S, camera=cam, mesh=mesh)
+        assert len(sharded.state.pose_cw.sharding.device_set) == 8
+        out_sharded = sharded.advance(images, deltas)
+
+        np.testing.assert_allclose(np.asarray(out_sharded.pose_cw),
+                                   np.asarray(out_plain.pose_cw),
+                                   rtol=1e-5, atol=1e-5)
+        assert np.array_equal(np.asarray(out_sharded.n_matched),
+                              np.asarray(out_plain.n_matched))
+
+
+class TestCompiledProgramCache:
+    def test_instances_share_compiled_program(self):
+        """A fresh session must reuse the cached jitted chunk program —
+        remote compiles cost ~30 s, so a per-instance closure is a compile
+        leak (CLAUDE.md rule)."""
+        cam = default_camera(320, 240)
+        cfg = DeviceVOConfig(width=320, height=240, lm_capacity=64,
+                             max_keypoints=100)
+        a = BatchedDeviceVO(cfg, batch=2, camera=cam)
+        b = BatchedDeviceVO(cfg, batch=2, camera=cam)
+        assert a._chunk is b._chunk
+        # a different static config must NOT share a program
+        c = BatchedDeviceVO(cfg._replace(match_radius_px=10.0), batch=2,
+                            camera=cam)
+        assert c._chunk is not a._chunk
+
+    def test_reset_restores_initial_state(self):
+        cam = default_camera(320, 240)
+        cfg = DeviceVOConfig(width=320, height=240, lm_capacity=64,
+                             max_keypoints=100)
+        vo = BatchedDeviceVO(cfg, batch=2, camera=cam)
+        p0 = np.stack([np.eye(4, dtype=np.float32)] * 2)
+        p0[:, 0, 3] = [1.0, 2.0]
+        vo.reset(poses0_cw=p0)
+        assert np.allclose(np.asarray(vo.state.pose_cw), p0)
+        assert np.allclose(np.asarray(vo.state.prev_pose_cw), p0)
+        assert not np.asarray(vo.state.lm_valid).any()
+        assert int(np.asarray(vo.state.frame_idx).max()) == 0
+
+
 @pytest.mark.slow
 class TestBatchedDeviceVO:
     def test_tracks_rendered_trajectory(self):

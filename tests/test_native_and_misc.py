@@ -39,6 +39,39 @@ class TestNativeHostops:
         want = np.where((xs - 50) ** 2 + (ys - 50) ** 2 < 225.0)[0]
         assert set(hits.tolist()) == set(want.tolist())
 
+    def test_match_tracker_matches_numpy_twin(self):
+        """native.match_tracker vs DescriptorTracker._match_to_prev_numpy on
+        clustered keypoints (many inside the motion radius, descriptor ties
+        likely at low bit distances)."""
+        from slam_tpu.frontends.descriptor_tracker import DescriptorTracker
+
+        tr = DescriptorTracker.__new__(DescriptorTracker)
+        tr.match_threshold = 60
+        tr.lowe_ratio = 0.9
+        tr.max_motion_px = 12.0
+        for trial in range(5):
+            r = np.random.default_rng(100 + trial)
+            n1, n2 = int(r.integers(1, 80)), int(r.integers(1, 80))
+            pts2 = r.uniform(0, 60, (n2, 2)).astype(np.float32)
+            pts1 = (pts2[r.integers(0, n2, n1)]
+                    + r.normal(0, 8, (n1, 2))).astype(np.float32)
+            base = r.integers(0, 2**32, (max(n1, n2), 8), dtype=np.uint32)
+            d2 = base[:n2].copy()
+            d1 = base[r.integers(0, n2, n1)].copy()
+            # flip a few bits so distances are small but nonzero, with ties
+            for i in range(n1):
+                nbits = int(r.integers(0, 30))
+                for _ in range(nbits):
+                    w, b = int(r.integers(0, 8)), int(r.integers(0, 32))
+                    d1[i, w] ^= np.uint32(1 << b)
+            got = native.match_tracker(d1, pts1, d2, pts2,
+                                       tr.max_motion_px, tr.match_threshold,
+                                       tr.lowe_ratio)
+            if got is None:
+                pytest.skip("native library unavailable")
+            want = tr._match_to_prev_numpy(d1, pts1, d2, pts2)
+            assert np.array_equal(got, want), trial
+
     def test_random_array_unique_and_deterministic(self):
         a = native.create_random_array(8, 0, 20, seed=94235682)
         b = native.create_random_array(8, 0, 20, seed=94235682)
