@@ -83,6 +83,9 @@ class KeyframeShared:
         self.feature_search: Optional[FeatureSearch] = None
         self.colors: Optional[np.ndarray] = None
         self.stereo_point_cloud: Optional[np.ndarray] = None
+        # debug frame retained ONLY when a publisher asks for the map-point-
+        # search view (reference: kf.shared->imgDbg, populated mapper.cpp:370)
+        self.img_dbg: Optional[np.ndarray] = None
 
     @property
     def num_keypoints(self) -> int:

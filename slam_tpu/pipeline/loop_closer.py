@@ -61,6 +61,15 @@ class LoopCloser:
         self.prev_loop_closure_kf_id = KfId(-1)
         self.previous_closure_t = -1.0
         self.ransac_seed = 94235682
+        # step-mode hooks, set via Mapper.connect_debug_api (reference:
+        # LoopCloserImplementation's dataPublisher/commands members)
+        self.data_publisher = None
+        self.commands = None
+
+    def _step_wait(self, message: str) -> None:
+        from slam_tpu.utils.commands import step_wait
+        step_wait(self.commands, self.data_publisher, self.map_db, None,
+                  self.settings.parameters.slam, message)
 
     # ------------------------------------------------------------------
 
@@ -261,6 +270,7 @@ class LoopCloser:
 
     def correct_loop(self, current_kf: Keyframe, loop_closure: LoopClosure) -> None:
         """reference: loop_closer.cpp:380-561"""
+        self._step_wait("Starting loop closure.")     # loop_closer.cpp:382-386
         parameters = self.settings.parameters.slam
         map_db = self.map_db
         candidate_kf = map_db.keyframes[loop_closure.candidate_kf_id]
@@ -298,6 +308,8 @@ class LoopCloser:
                 if mp_val >= 0 and MpId(int(mp_val)) not in local_map_points:
                     local_map_points[MpId(int(mp_val))] = kf.id
 
+        self._step_wait("After rigid transform.")     # loop_closer.cpp:436-440
+
         # time-interpolated part (loop_closer.cpp:445-470)
         t0 = map_db.keyframes[correction_start].t
         t1 = current_kf.t
@@ -314,6 +326,8 @@ class LoopCloser:
             for mp_val in kf.map_points:
                 if mp_val >= 0 and MpId(int(mp_val)) not in local_map_points:
                     local_map_points[MpId(int(mp_val))] = kf.id
+
+        self._step_wait("After linear correction.")   # loop_closer.cpp:478-482
 
         map_db.loop_closure_edges.append(LoopClosureEdge(
             kf_id1=candidate_kf.id, kf_id2=current_kf.id,
@@ -346,6 +360,7 @@ class LoopCloser:
             map_db.map_points[a].replace_with(map_db, map_db.map_points[b])
 
         self._search_and_deduplicate(candidate_kf, rigidly_transformed)
+        self._step_wait("After map point manipulation.")  # loop_closer.cpp:552-555
         self.previous_closure_t = current_kf.t
 
     def get_total_reprojection_error(self) -> float:

@@ -340,11 +340,16 @@ class Mapper:
             self.end_debug_callback(list(self.map_db.map_point_records.values()))
         return True
 
-    def connect_debug_api(self, viewer_publisher=None, end_debug_callback=None):
-        """reference: mapper.cpp:477-496"""
+    def connect_debug_api(self, viewer_publisher=None, end_debug_callback=None,
+                          command_queue=None):
+        """reference: mapper.cpp:477-496 (DebugAPI: dataPublisher,
+        endDebugCallback, commandQueue)"""
         if viewer_publisher is not None:
             self.viewer_publisher = viewer_publisher
             if hasattr(viewer_publisher, "set_atlas"):
                 viewer_publisher.set_atlas(self.atlas)
+            self.loop_closer.data_publisher = viewer_publisher
+        if command_queue is not None:
+            self.loop_closer.commands = command_queue
         if end_debug_callback is not None:
             self.end_debug_callback = end_debug_callback

@@ -106,7 +106,8 @@ def match_tracked_features(current_keyframe: Keyframe, map_db: MapDB,
 @timed
 def match_local_map_points(current_keyframe: Keyframe,
                            adjacent_kf_ids: List[KfId], map_db: MapDB,
-                           settings: StaticSettings) -> None:
+                           settings: StaticSettings,
+                           viewer_publisher=None) -> None:
     """reference: mapper_helpers.cpp:231-269 (frustum test vectorized)"""
     parameters = settings.parameters.slam
     if not adjacent_kf_ids:
@@ -157,7 +158,8 @@ def match_local_map_points(current_keyframe: Keyframe,
     matcher.search_by_projection(
         current_keyframe, [mp.id for mp in local], map_db, r, settings,
         precomp=(local, pix[sel], visible[sel], dist[sel], viewing_cos[sel],
-                 min_d[sel], max_d[sel]))
+                 min_d[sel], max_d[sel]),
+        data_publisher=viewer_publisher)
 
 
 def _batch_triangulate_pairs(cur_kf: Keyframe, adj_kf: Keyframe,
@@ -934,7 +936,8 @@ def add_keyframe_common_inner(map_db: MapDB, current_keyframe: Keyframe,
     map_db.adjacent_kf_ids = adjacent_kf_ids
 
     if kf_decision and is_backend:
-        match_local_map_points(current_keyframe, adjacent_kf_ids, map_db, settings)
+        match_local_map_points(current_keyframe, adjacent_kf_ids, map_db,
+                               settings, viewer_publisher=viewer_publisher)
     else:
         if is_backend:
             # a deferred BA must land before the pose-only solve reads the
@@ -1012,6 +1015,12 @@ def _post_ba_tail(map_db: MapDB, current_keyframe: Keyframe,
         else:
             local_bundle_adjust(current_keyframe, workspace_ba, map_db,
                                 ps.loopClosureLocalBAProblemSize, settings)
+        # step mode pauses after the post-loop bundle adjust
+        # (reference: mapper_helpers.cpp:1116-1120)
+        from slam_tpu.utils.commands import step_wait
+        step_wait(getattr(loop_closer, "commands", None), viewer_publisher,
+                  map_db, workspace_ba, ps,
+                  "Bundle adjustment after loop closure done")
 
     if ps.pointCloudSavePath:
         update_point_cloud_recording(current_keyframe.t,
@@ -1069,6 +1078,12 @@ def add_keyframe_common_outer(map_db: MapDB, keyframe: Keyframe,
     keyframe.shared = keyframe.shared.clone()
     if keyframe_decision and is_backend:
         keyframe.add_full_features(mapper_input, orb_extractor, bow_index)
+        # retain the frame for the map-point-search debug view only when a
+        # publisher asked for it (reference: mapper.cpp:370/419 imgDbg copy)
+        if (mapper_input.frame is not None and np.ndim(mapper_input.frame) >= 2
+                and getattr(getattr(viewer_publisher, "parameters", None),
+                            "visualizeMapPointSearch", False)):
+            keyframe.shared.img_dbg = np.array(mapper_input.frame)
     else:
         keyframe.add_tracker_features(mapper_input)
 

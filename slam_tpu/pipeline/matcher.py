@@ -134,16 +134,25 @@ def match_for_triangulation(kf1: Keyframe, kf2: Keyframe,
 @timed
 def search_by_projection(kf: Keyframe, mp_ids: List[MpId], map_db: MapDB,
                          threshold: float, settings: StaticSettings,
-                         precomp=None) -> int:
+                         precomp=None, data_publisher=None) -> int:
     """Project local map points into the keyframe and claim unmatched
     keypoints (reference: keyframe_matcher.cpp:295-414).
 
     ``precomp``, when given, is (mps, pix, visible, d_all, cos_all,
     min_d_all, max_d_all) for exactly ``mp_ids`` — the same columns this
     function would derive itself (identical formulas/dtypes), handed over by
-    a caller that already computed them for its own gating."""
+    a caller that already computed them for its own gating.
+
+    ``data_publisher`` with ``visualizeMapPointSearch`` enabled receives the
+    search debug view (reference: keyframe_matcher.cpp:305-310, 403-411):
+    in-image candidate projections, accepted (projection, keypoint) pairs,
+    and the keypoints left unmatched. Unlike the reference we publish even
+    without a retained debug frame (the renderer draws on black)."""
     if not mp_ids:
         return 0
+    visualize = bool(getattr(getattr(data_publisher, "parameters", None),
+                             "visualizeMapPointSearch", False))
+    vis_matched: list = []
     view_angle_limit_cos = 0.5
     sf = settings.scaleFactors
     ref_scale = float(sf[len(sf) // 2])
@@ -168,6 +177,11 @@ def search_by_projection(kf: Keyframe, mp_ids: List[MpId], map_db: MapDB,
     pred_all = MapPoint.predict_scale_levels(
         np.maximum(max_d_all, 1e-12), np.maximum(d_all, 1e-12), settings)
 
+    def _publish_search():
+        unmatched = kf.shared.pts[kf.map_points < 0]
+        data_publisher.visualize_map_point_search(
+            kf.shared.img_dbg, vis_matched, pix[visible], unmatched)
+
     # "already owned by a live map point" per keypoint, maintained
     # incrementally as the greedy loop claims keypoints (identical to the
     # reference's at-iteration ownership check, keyframe_matcher.cpp:339-344:
@@ -188,6 +202,8 @@ def search_by_projection(kf: Keyframe, mp_ids: List[MpId], map_db: MapDB,
                     & (cos_all >= view_angle_limit_cos))
         qsel = np.flatnonzero(keep)
         if len(qsel) == 0:
+            if visualize:
+                _publish_search()
             return 0
         shrink = np.where(cos_all[qsel] > 0.998, 2.5 / 4.0, 1.0)
         radii = (shrink * threshold
@@ -205,6 +221,10 @@ def search_by_projection(kf: Keyframe, mp_ids: List[MpId], map_db: MapDB,
                     kf.add_observation(mp.id, KpId(int(j)))
                     mp.add_observation(kf.id, KpId(int(j)))
                     match_count += 1
+                    if visualize:
+                        vis_matched.append((pix[qi], kf.shared.pts[int(j)]))
+            if visualize:
+                _publish_search()
             return match_count
 
     dist_all = _distance_matrix(mp_descs, kf.shared.descriptors)
@@ -238,6 +258,10 @@ def search_by_projection(kf: Keyframe, mp_ids: List[MpId], map_db: MapDB,
             mp.add_observation(kf.id, KpId(best_idx))
             owned[best_idx] = True
             match_count += 1
+            if visualize:
+                vis_matched.append((pix[k], kf.shared.pts[best_idx]))
+    if visualize:
+        _publish_search()
     return match_count
 
 

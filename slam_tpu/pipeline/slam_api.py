@@ -92,9 +92,12 @@ class Slam:
         return fut
 
     def connect_debug_api(self, viewer_publisher=None, end_debug_callback=None,
-                          map_save_path: str = "") -> None:
-        """reference: slam_implementation.cpp:199-201, connectDebugAPI"""
-        self._mapper.connect_debug_api(viewer_publisher, end_debug_callback)
+                          map_save_path: str = "", command_queue=None) -> None:
+        """reference: slam_implementation.cpp:199-201, connectDebugAPI
+        (DebugAPI carries dataPublisher + commandQueue + mapSavePath +
+        endDebugCallback, slam_implementation.hpp:15-20)"""
+        self._mapper.connect_debug_api(viewer_publisher, end_debug_callback,
+                                       command_queue=command_queue)
         self._map_save_path = map_save_path
 
     @property

@@ -20,10 +20,19 @@ from slam_tpu.ids import KfId, MpId
 from slam_tpu.map.map_point import MapPointStatus
 
 
+class ViewerParameters:
+    """Visualization toggles (reference: the codegen'd cmd::ParametersSlam
+    consulted via dataPublisher->getParameters(), viewer_data_publisher.hpp:
+    100; only the fields this module reads)."""
+
+    def __init__(self, visualizeMapPointSearch: bool = False):
+        self.visualizeMapPointSearch = visualizeMapPointSearch
+
+
 class ViewerDataPublisher:
     """reference: viewer_data_publisher.hpp:93-160"""
 
-    def __init__(self):
+    def __init__(self, parameters: Optional[ViewerParameters] = None):
         self._lock = threading.Lock()
         self._map_points: List[dict] = []
         self._keyframes: List[dict] = []
@@ -32,6 +41,12 @@ class ViewerDataPublisher:
         self._loop_closure_edges: List[dict] = []
         self._atlas: List[dict] = []
         self._age: float = -1.0
+        self._map_point_search: Optional[dict] = None
+        self.parameters = parameters if parameters is not None \
+            else ViewerParameters()
+
+    def get_parameters(self) -> ViewerParameters:
+        return self.parameters
 
     # ------------------------------------------------------------------
     # producer side (SLAM threads)
@@ -100,6 +115,30 @@ class ViewerDataPublisher:
                 "candidatePose": np.asarray(candidate_pose_wc).tolist(),
                 "updatedPose": np.asarray(updated_pose_wc).tolist(),
             })
+
+    def visualize_map_point_search(self, frame, matched, projected_mps,
+                                   unmatched_kps) -> None:
+        """Snapshot one searchByProjection debug view (reference:
+        opencv_viewer_data_publisher.cpp:210-246, fed from
+        keyframe_matcher.cpp:307-410): ``matched`` = (mp reprojection,
+        keypoint) pixel pairs, ``projected_mps`` = every candidate projection
+        that landed in-image, ``unmatched_kps`` = keypoints left without a
+        map point."""
+        snap = {
+            "frame": None if frame is None else np.asarray(frame),
+            "matched": [(np.asarray(m, float).tolist(),
+                         np.asarray(k, float).tolist()) for m, k in matched],
+            "projectedMps": np.asarray(projected_mps, float).reshape(-1, 2)
+                              .tolist(),
+            "unmatchedKps": np.asarray(unmatched_kps, float).reshape(-1, 2)
+                              .tolist(),
+        }
+        with self._lock:
+            self._map_point_search = snap
+
+    def get_map_point_search(self) -> Optional[dict]:
+        with self._lock:
+            return self._map_point_search
 
     def set_atlas(self, atlas) -> None:
         """reference: mapDBtoViewerAtlasMap (mapper_helpers.cpp:995-1009)"""

@@ -193,6 +193,32 @@ def render_map_orthographic(map_db, plane: str = "xz", size: int = 800,
     return img
 
 
+def render_map_point_search(frame: Optional[np.ndarray], matched,
+                            projected_mps, unmatched_kps,
+                            size=(480, 640)) -> np.ndarray:
+    """searchByProjection debug view (reference:
+    opencv_viewer_data_publisher.cpp:207-246 visualizeMapPointSearch):
+    orange dot = ORB keypoint with no matching map point, cyan circle =
+    map-point projection with no matching ORB, white = matched ORB dot +
+    map-point circle pair (drawn last so matches cover the candidates)."""
+    orange = (255, 160, 30)
+    cyan = (60, 220, 220)
+    white = (255, 255, 255)
+    img = (to_rgb(frame) if frame is not None
+           else np.full((size[0], size[1], 3), 15, np.uint8))
+    proj = np.asarray(projected_mps, float).reshape(-1, 2)
+    if len(proj):
+        draw_points(img, proj, cyan, 4)
+    kps = np.asarray(unmatched_kps, float).reshape(-1, 2)
+    if len(kps):
+        draw_points(img, kps, orange, 2)
+    for mp_px, kp_px in matched:
+        draw_points(img, np.asarray(mp_px, float)[None], white, 4)
+        draw_points(img, np.asarray(kp_px, float)[None], white, 2)
+        draw_line(img, mp_px, kp_px, white)
+    return img
+
+
 def render_pyramid(pyramid) -> np.ndarray:
     """Stacked view of plain + blurred pyramid levels
     (reference: image_pyramid.cpp:47-57 debugVisualize)."""
@@ -239,6 +265,13 @@ class PngDebugPublisher:
         path = self._path(tag)
         write_png(path, render_matches(image1, kf1.shared.pts,
                                        image2, kf2.shared.pts, pairs))
+        return path
+
+    def visualize_map_point_search(self, frame, matched, projected_mps,
+                                   unmatched_kps) -> str:
+        path = self._path("mp_search")
+        write_png(path, render_map_point_search(frame, matched,
+                                                projected_mps, unmatched_kps))
         return path
 
     def visualize_pyramid(self, pyramid) -> str:

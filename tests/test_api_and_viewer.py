@@ -3,7 +3,8 @@ import numpy as np
 
 from slam_tpu.params import Parameters, ParametersSlam
 from slam_tpu.pipeline.slam_api import Slam
-from slam_tpu.utils.viewer import ViewerDataPublisher
+from slam_tpu.utils.commands import CommandQueue, StepMode, step_wait
+from slam_tpu.utils.viewer import ViewerDataPublisher, ViewerParameters
 
 from synthetic_world import (FakeOrbExtractor, TrackSimulator,
                              make_mapper_input, make_world)
@@ -95,3 +96,68 @@ class TestViewerPublisher:
         snap = json.load(open(path))
         assert len(snap["keyframes"]) == len(kfs)
         slam.end().result(timeout=60)
+
+    def test_map_point_search_view(self, tmp_path):
+        """searchByProjection debug snapshot (reference:
+        visualizeMapPointSearch, opencv_viewer_data_publisher.cpp:210-246):
+        enabling the flag must capture candidate projections + matches and
+        the renderer must produce an image."""
+        from slam_tpu.utils import viz2d
+
+        world = make_world(n_frames=10, n_landmarks=200)
+        pub = ViewerDataPublisher(ViewerParameters(visualizeMapPointSearch=True))
+        tracker = TrackSimulator(world)
+        slam = Slam.build(_params(), orb_extractor=FakeOrbExtractor(world, tracker))
+        slam.connect_debug_api(viewer_publisher=pub)
+        _ = [f.result(timeout=60) for f in _run_session(slam, world, 10, tracker)]
+        snap = pub.get_map_point_search()
+        assert snap is not None
+        assert len(snap["projectedMps"]) > 0
+        img = viz2d.render_map_point_search(
+            snap["frame"], [(m, k) for m, k in snap["matched"]],
+            snap["projectedMps"], snap["unmatchedKps"])
+        assert img.ndim == 3 and img.shape[2] == 3
+        viz2d.write_png(str(tmp_path / "mp_search.png"), img)
+        slam.end().result(timeout=60)
+
+
+class TestCommandQueue:
+    def test_wait_recording_and_step_gating(self):
+        waits = []
+        q = CommandQueue(wait_fn=lambda m: waits.append(m))
+        assert q.get_step_mode() == StepMode.NONE
+        pub = ViewerDataPublisher()
+
+        class _DB:
+            keyframes = {}
+        # NONE mode: no publish, no wait
+        step_wait(q, pub, _DB(), None, None, "nope")
+        assert q.waits == [] and waits == []
+        # SLAM mode: records + calls the wait fn (publish tolerates empty map)
+        q.set_step_mode(StepMode.SLAM)
+        step_wait(q, pub, _DB(), None, None, "Starting loop closure.")
+        assert q.waits == ["Starting loop closure."]
+        assert waits == ["Starting loop closure."]
+        # missing publisher: still gated off
+        step_wait(q, None, _DB(), None, None, "no publisher")
+        assert len(q.waits) == 1
+
+    def test_loop_closer_wait_sites(self):
+        """The loop closer's step hooks fire through the same guarded idiom
+        (reference wait sites loop_closer.cpp:382,436,478,552)."""
+        from slam_tpu.map.mapdb import MapDB
+        from slam_tpu.params import StaticSettings
+        from slam_tpu.pipeline.loop_closer import LoopCloser
+
+        lc = LoopCloser(StaticSettings(Parameters()), bow_index=None,
+                        map_db=MapDB())
+        msgs = []
+        lc.commands = CommandQueue(StepMode.SLAM,
+                                   wait_fn=lambda m: msgs.append(m))
+        lc.data_publisher = ViewerDataPublisher()
+        lc._step_wait("After rigid transform.")
+        assert msgs == ["After rigid transform."]
+        # without a publisher the wait must be skipped (reference guard)
+        lc.data_publisher = None
+        lc._step_wait("skipped")
+        assert msgs == ["After rigid transform."]

@@ -66,7 +66,13 @@ class TestMeshShardedVO:
 
         plain = BatchedDeviceVO(cfg, batch=S, camera=cam)
         out_plain = plain.advance(images, deltas)
+        out_plain = jax.tree.map(np.asarray, out_plain)
 
+        # see test_native_and_misc.TestMultichipStep: big GSPMD compiles on
+        # top of a large executable cache have segfaulted the CPU compiler
+        jax.clear_caches()
+        from slam_tpu.pipeline import device_vo
+        device_vo._CHUNK_CACHE.clear()
         mesh = make_mesh(8, axis_names=("data",))
         sharded = BatchedDeviceVO(cfg, batch=S, camera=cam, mesh=mesh)
         assert len(sharded.state.pose_cw.sharding.device_set) == 8

@@ -282,6 +282,11 @@ class TestMultichipStep:
         from slam_tpu.parallel.multichip import build_update_step, make_key_banks
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        # drop compiled programs accumulated by earlier test files: the
+        # 8-device GSPMD compile is the suite's biggest, and running it on
+        # top of a large in-process executable cache has produced
+        # compiler-thread segfaults on this box
+        jax.clear_caches()
         mesh = make_mesh(8, axis_names=("data", "hyp"))
         step = build_update_step(mesh, 96, 80, hypotheses=16, ba_capacity=16)
         images = rng.integers(0, 256, (8, 80, 96)).astype(np.float32)

@@ -1,0 +1,129 @@
+#!/usr/bin/env python
+"""Device-resident VO accuracy on the EuRoC-class synthetic sequence.
+
+`tools/run_euroc_synthetic.py` measures the interactive host pipeline
+(BASELINE configs 3/4); this tool measures the serving-path counterpart
+(`slam_tpu/pipeline/device_vo.py`) on the SAME rendered scene and camera
+geometry: S sequences run batched through the scanned+vmapped device
+program with drift-injected odometry deltas as the motion prior (the
+reference's L0 host-VIO contract reduced to its per-frame delta chain,
+mapdb.cpp:52-79), and the VO trajectory's ATE RMSE is compared against the
+raw drifted odometry — the same "beat your own odometry input" criterion
+the interactive pipeline is held to, here achieved by projection matching
++ pose-BA against the device-resident landmark store (no loop closure:
+the VO core is the `backendOnly` analogue, mapper.cpp:406-434).
+
+Usage:
+  python tools/run_device_vo_euroc.py [--frames N] [--sequences S]
+      [--drift SIGMA] [--chunk T]
+"""
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from run_euroc_synthetic import CAM, make_scene, make_sequence, render
+
+from slam_tpu.geometry import se3
+
+
+def run(n_frames=120, n_sequences=2, drift=0.0015, chunk=8, seed=0,
+        progress=True):
+    import jax
+    from slam_tpu.pipeline.device_vo import BatchedDeviceVO, DeviceVOConfig
+
+    n_frames = (n_frames // chunk) * chunk
+    times = np.arange(n_frames) / 20.0
+
+    # per-sequence scene + ground truth + drifted odometry
+    seqs = []
+    t0 = time.perf_counter()
+    for s in range(n_sequences):
+        scene = make_scene(seed + s)
+        _, poses_cw = make_sequence(n_frames, seed + s)
+        rng = np.random.default_rng(seed + s + 7)
+        drift_rw = np.zeros(3)
+        odo_cw = []
+        for i in range(n_frames):
+            drift_rw += rng.normal(0.0, drift, 3)
+            odo_cw.append(se3.se3_exp(
+                np.concatenate([np.zeros(3), drift_rw])) @ poses_cw[i])
+        odo_cw = np.stack(odo_cw)
+        frames = np.stack([render(scene, poses_cw[i])
+                           for i in range(n_frames)])
+        deltas = np.stack(
+            [np.eye(4, dtype=np.float32)]
+            + [(odo_cw[i] @ np.linalg.inv(odo_cw[i - 1])).astype(np.float32)
+               for i in range(1, n_frames)])
+        seqs.append((poses_cw, odo_cw, frames, deltas))
+        if progress:
+            print(f"seq {s}: rendered {n_frames} frames", flush=True)
+    render_s = time.perf_counter() - t0
+
+    images = np.stack([s[2] for s in seqs])           # (S, N, H, W)
+    deltas = np.stack([s[3] for s in seqs])           # (S, N, 4, 4)
+
+    cfg = DeviceVOConfig(width=CAM.width, height=CAM.height,
+                         lm_capacity=512, max_keypoints=600)
+    vo = BatchedDeviceVO(cfg, batch=n_sequences, camera=CAM)
+    p0 = np.stack([s[0][0] for s in seqs]).astype(np.float32)
+    vo.reset(poses0_cw=p0)
+
+    # warmup chunk compiles; then a timed fresh run over all chunks
+    out = vo.advance(images[:, :chunk], deltas[:, :chunk])
+    jax.device_get(out.pose_cw)
+    vo.reset(poses0_cw=p0)
+    t0 = time.perf_counter()
+    outs = []
+    for c in range(n_frames // chunk):
+        sl = slice(c * chunk, (c + 1) * chunk)
+        outs.append(vo.advance(images[:, sl], deltas[:, sl]))
+    poses = np.concatenate(
+        [np.asarray(jax.device_get(o.pose_cw)) for o in outs], axis=1)
+    vo_s = time.perf_counter() - t0
+
+    def ate(centers, gt_centers):
+        err = centers - gt_centers
+        err = err - err.mean(axis=0)
+        return float(np.sqrt((err ** 2).sum(axis=1).mean()))
+
+    per_seq = []
+    for s, (poses_cw, odo_cw, _, _) in enumerate(seqs):
+        gt_c = np.stack([se3.camera_center(p) for p in poses_cw])
+        vo_c = np.stack([se3.camera_center(p) for p in poses[s]])
+        od_c = np.stack([se3.camera_center(p) for p in odo_cw])
+        per_seq.append({"ate_vo_m": ate(vo_c, gt_c),
+                        "ate_odometry_m": ate(od_c, gt_c)})
+
+    return {
+        "frames": n_frames, "sequences": n_sequences, "drift": drift,
+        "per_sequence": per_seq,
+        "ate_vo_m_mean": float(np.mean([x["ate_vo_m"] for x in per_seq])),
+        "ate_odometry_m_mean": float(np.mean([x["ate_odometry_m"]
+                                              for x in per_seq])),
+        "vo_keyframes_per_sec": n_sequences * n_frames / vo_s,
+        "render_s": render_s,
+    }
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--sequences", type=int, default=2)
+    ap.add_argument("--drift", type=float, default=0.0015)
+    ap.add_argument("--chunk", type=int, default=8)
+    ap.add_argument("--seed", type=int, default=0)
+    args = ap.parse_args()
+    res = run(n_frames=args.frames, n_sequences=args.sequences,
+              drift=args.drift, chunk=args.chunk, seed=args.seed)
+    print(json.dumps(res))
+
+
+if __name__ == "__main__":
+    main()
