@@ -29,6 +29,13 @@ class MapPointStatus(enum.IntEnum):
 
 
 class MapPoint:
+    # fixed attribute set: map points are created by the hundreds per
+    # keyframe inside createNewMapPoints, and slot objects allocate/access
+    # measurably faster than dict-backed ones on that path
+    __slots__ = ("id", "track_id", "status", "position", "norm",
+                 "min_viewing_distance", "max_viewing_distance", "descriptor",
+                 "observations", "reference_keyframe", "color")
+
     def __init__(self, mp_id: MpId = MpId(-1), keyframe_id: KfId = KfId(-1),
                  keypoint_id: KpId = KpId(-1)):
         self.id = mp_id

