@@ -79,7 +79,9 @@ class KeyframeShared:
         # normalized word-histogram signature (see ops/bow.py)
         self.words = np.zeros(0, np.int32)
         self.groups = np.zeros(0, np.int32)
-        self.bow_signature: Optional[np.ndarray] = None
+        # sparse retrieval signature: (unique word ids, L2-normalized
+        # weights) pair, see ops/bow.BowIndex.transform
+        self.bow_signature = None
         self.feature_search: Optional[FeatureSearch] = None
         self.colors: Optional[np.ndarray] = None
         self.stereo_point_cloud: Optional[np.ndarray] = None

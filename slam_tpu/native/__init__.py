@@ -51,12 +51,26 @@ def get_lib() -> Optional[ctypes.CDLL]:
         fresh = (os.path.exists(_LIB_PATH)
                  and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(_SRC))
         path = _LIB_PATH if fresh else _build()
+        if path is None and os.path.exists(_LIB_PATH):
+            # git checkouts don't preserve mtimes, so a perfectly good
+            # checked-in binary can look stale; without a working compiler
+            # prefer it over losing the whole native fast path (the symbol
+            # check below rejects it if it predates a newer op)
+            path = _LIB_PATH
         if path is None:
             return None
         try:
             lib = ctypes.CDLL(path)
         except OSError:
             return None
+        required = ("hamming_matrix", "hamming_row", "hamming_argmin",
+                    "medoid_descriptor", "medoid_descriptor_many",
+                    "radius_search", "radius_hamming_best",
+                    "match_triangulation", "match_loop_closure",
+                    "match_tracker", "project_greedy_claim",
+                    "create_random_array", "seed_random")
+        if any(not hasattr(lib, s) for s in required):
+            return None  # stale binary from before a newer op was added
         u32p = np.ctypeslib.ndpointer(np.uint32, flags="C_CONTIGUOUS")
         i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
         i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")

@@ -129,25 +129,34 @@ class BowIndex:
             words = quantize(shared.descriptors, self.codebook)
         shared.words = words
         shared.groups = (words // self._group_div).astype(np.int32)
-        sig = np.bincount(words, minlength=self.num_words).astype(np.float32)
-        n = np.linalg.norm(sig)
-        shared.bow_signature = sig / n if n > 0 else sig
+        # SPARSE signature (unique words, L2-normalized weights): a dense
+        # 65536-float vector per keyframe would pin ~150 MB at config-5
+        # scale while every consumer only reads the entry's own words
+        uw, cnt = np.unique(words, return_counts=True)
+        cnt = cnt.astype(np.float32)
+        n = float(np.linalg.norm(cnt))
+        shared.bow_signature = (uw.astype(np.int32),
+                                cnt / n if n > 0 else cnt)
 
     # ------------------------------------------------------------------
 
     def add(self, keyframe, map_id: MapId) -> None:
         assert keyframe.shared.bow_signature is not None, "transform() first"
-        row = len(self._entries)
         map_kf = MapKf(map_id, keyframe.id)
+        # re-registration must not leak the previous row: it would stay
+        # alive in every postings list forever (remove only tombstones the
+        # newest row for a given MapKf)
+        if map_kf in self._row_of:
+            self.remove(map_kf)
+        row = len(self._entries)
         self._entries.append(map_kf)
         self._alive.append(True)
         self._row_of[map_kf] = row
         self._n_alive += 1
-        sig = keyframe.shared.bow_signature
-        uw = np.unique(keyframe.shared.words)
-        for w, wt in zip(uw.tolist(), sig[uw].tolist()):
+        uw, wt = keyframe.shared.bow_signature
+        for w, weight in zip(uw.tolist(), wt.tolist()):
             self._post_rows.setdefault(w, []).append(row)
-            self._post_weights.setdefault(w, []).append(wt)
+            self._post_weights.setdefault(w, []).append(weight)
 
     def remove(self, map_kf: MapKf) -> None:
         row = self._row_of.pop(map_kf, None)
@@ -197,8 +206,7 @@ class BowIndex:
         if self._n_alive == 0:
             return []
         current = MapKf(CURRENT_MAP_ID, kf.id)
-        q_words = np.unique(kf.shared.words)
-        q_sig = kf.shared.bow_signature
+        q_words, q_wt = kf.shared.bow_signature
 
         n_rows = len(self._entries)
         # one C-speed pass over the postings of the query's words: bincount
@@ -206,13 +214,13 @@ class BowIndex:
         # products (sum over shared words of q_sig[w] * entry_sig[w])
         from itertools import chain
         rows_lists, weight_lists, q_factors, lens = [], [], [], []
-        for w in q_words.tolist():
+        for w, qv in zip(q_words.tolist(), q_wt.tolist()):
             rows = self._post_rows.get(w)
             if not rows:
                 continue
             rows_lists.append(rows)
             weight_lists.append(self._post_weights[w])
-            q_factors.append(float(q_sig[w]))
+            q_factors.append(float(qv))
             lens.append(len(rows))
         if not rows_lists:
             return []

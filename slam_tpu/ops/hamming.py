@@ -55,6 +55,24 @@ def hamming_matrix_popcount(desc1: jnp.ndarray, desc2: jnp.ndarray) -> jnp.ndarr
     return jnp.sum(jax.lax.population_count(x), axis=-1).astype(jnp.int32)
 
 
+MASK_DIST = 10_000  # sentinel distance for gated-out pairs (> any Hamming)
+
+
+def mutual_nn(dist: jnp.ndarray, thr: int):
+    """Mutual-nearest selection over a gated (A, B) distance matrix.
+
+    The shared device-side acceptance rule of the batched matchers
+    (multichip pair matching, device-VO map matching and landmark
+    creation): per-row nearest neighbor, mutual-consistency check, and an
+    absolute distance threshold. Gated-out pairs must carry ``MASK_DIST``.
+    Returns (nn_ab (A,) int, ok (A,) bool)."""
+    nn_ab = jnp.argmin(dist, axis=1)
+    nn_ba = jnp.argmin(dist, axis=0)
+    d_best = jnp.min(dist, axis=1)
+    mutual = nn_ba[nn_ab] == jnp.arange(dist.shape[0])
+    return nn_ab, mutual & (d_best <= thr)
+
+
 def hamming_distance(d1: np.ndarray, d2: np.ndarray) -> np.ndarray:
     """Host-side scalar/vector Hamming distance (NumPy popcount)."""
     d1 = np.asarray(d1, dtype=np.uint32)

@@ -33,7 +33,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from slam_tpu.ops import ba, camera_jax
 from slam_tpu.ops.frontend import _extract_impl
-from slam_tpu.ops.hamming import hamming_matrix
+from slam_tpu.ops.hamming import MASK_DIST, hamming_matrix, mutual_nn
 from slam_tpu.ops.matching import HAMMING_DIST_THR_LOW
 from slam_tpu.ops.ransac import (_essential_ransac_core, _sim3_ransac_core,
                                  recover_pose_from_E_jax)
@@ -58,14 +58,10 @@ def _mutual_match(desc_a, desc_b, valid_a, valid_b):
     sequential one-to-one claim (keyframe_matcher.cpp:160-293).
     """
     dist = hamming_matrix(desc_a, desc_b)
-    big = jnp.int32(10_000)
-    dist = jnp.where(valid_a[:, None] & valid_b[None, :], dist, big)
-    nn_ab = jnp.argmin(dist, axis=1)
-    nn_ba = jnp.argmin(dist, axis=0)
-    d_best = jnp.min(dist, axis=1)
-    mutual = nn_ba[nn_ab] == jnp.arange(dist.shape[0])
-    good = valid_a & mutual & (d_best <= HAMMING_DIST_THR_LOW)
-    return nn_ab, good
+    dist = jnp.where(valid_a[:, None] & valid_b[None, :], dist,
+                     jnp.int32(MASK_DIST))
+    nn_ab, ok = mutual_nn(dist, HAMMING_DIST_THR_LOW)
+    return nn_ab, valid_a & ok
 
 
 def _pair_step(feats_a, feats_b, ess_keys, sim3_keys,
@@ -74,11 +70,13 @@ def _pair_step(feats_a, feats_b, ess_keys, sim3_keys,
     pts_a, valid_a, desc_a = feats_a
     pts_b, valid_b, desc_b = feats_b
 
-    nn, good = _mutual_match(desc_a, desc_b, valid_a, valid_b)
+    nn, real_good = _mutual_match(desc_a, desc_b, valid_a, valid_b)
     # degenerate-input guard: with < 8 matches the pair carries no usable
-    # geometry (the caller reads essential_inliers to judge quality), but the
-    # RANSAC sampling distribution must stay well-defined under jit
-    good = jnp.where(jnp.sum(good) >= 8, good, jnp.ones_like(good))
+    # geometry, but the RANSAC sampling distribution must stay well-defined
+    # under jit; reported inlier counts are masked back to the REAL matches
+    # below so a garbage pair scores ~0 instead of the padded fallback
+    degenerate = jnp.sum(real_good) < 8
+    good = jnp.where(degenerate, jnp.ones_like(real_good), real_good)
     pix_a = pts_a
     pix_b = pts_b[nn]
 
@@ -88,7 +86,7 @@ def _pair_step(feats_a, feats_b, ess_keys, sim3_keys,
 
     # --- essential RANSAC over the pair's own bearing matches
     E, ess_score, ess_inl = _essential_ransac_core(ess_keys, b1, b2, good)
-    ess_inl = ess_inl & good
+    ess_inl = ess_inl & good & real_good
 
     # --- pose recovery + triangulation from the matches (cheirality vote)
     R21, t21, pts_c1, tri_ok = recover_pose_from_E_jax(E, b1, b2, ess_inl)
@@ -129,7 +127,7 @@ def _pair_step(feats_a, feats_b, ess_keys, sim3_keys,
         obs_sqrt_info=jnp.full((2 * M,), 100.0, jnp.float32),
         obs_valid=jnp.concatenate([pt_ok, pt_ok]),
         pe_a=jnp.zeros(1, jnp.int32), pe_b=jnp.ones(1, jnp.int32),
-        pe_meas=(pose2 @ jnp.linalg.inv(pose1))[None],
+        pe_meas=pose2[None],     # relative to pose1 = identity
         pe_sqrt_info=jnp.eye(6, dtype=jnp.float32)[None] * 0.1,
         pe_valid=jnp.ones(1, bool),
         pr_idx=jnp.zeros(1, jnp.int32),
@@ -167,7 +165,9 @@ def build_update_step(mesh: Mesh, width: int, height: int,
     spec = (scale_factors, budgets, tuple(_min_distances(settings, sizes)),
             int(p.orbLkTrackLevel),
             p.slamFeatureDetector.lower() == "fast", width, height,
-            int(getattr(p, "bowVocabularySize", 0)))
+            0)  # no retrieval in the pair step: a nonzero size would bake
+                # the 65536-word codebook + a per-frame quantization GEMM
+                # into the executable with nobody reading the words
 
     if camera is None:
         from slam_tpu.geometry.camera import PinholeCamera

@@ -32,7 +32,7 @@ import numpy as np
 
 from slam_tpu.ops import ba, camera_jax
 from slam_tpu.ops.frontend import _extract_impl, _min_distances
-from slam_tpu.ops.hamming import hamming_matrix
+from slam_tpu.ops.hamming import MASK_DIST, hamming_matrix, mutual_nn
 from slam_tpu.ops.matching import HAMMING_DIST_THR_LOW
 from slam_tpu.ops.pyramid import level_sizes
 from slam_tpu.ops.ransac import triangulate_two_view_jax
@@ -133,13 +133,9 @@ def _match_map(state: VOState, pts, desc, feat_valid, pose_pred,
     d2 = jnp.sum((proj[:, None, :] - pts[None, :, :]) ** 2, axis=-1)
     gate = (vis[:, None] & feat_valid[None, :]
             & (d2 <= cfg.match_radius_px ** 2))
-    big = jnp.int32(10_000)
-    dist = jnp.where(gate, dist, big)
-    nn_mf = jnp.argmin(dist, axis=1)                        # landmark -> feat
-    nn_fm = jnp.argmin(dist, axis=0)                        # feat -> landmark
-    d_best = jnp.min(dist, axis=1)
-    matched = ((nn_fm[nn_mf] == jnp.arange(dist.shape[0]))
-               & (d_best <= HAMMING_DIST_THR_LOW))
+    dist = jnp.where(gate, dist, jnp.int32(MASK_DIST))
+    # landmark -> feature mutual-nearest with THR_LOW acceptance
+    nn_mf, matched = mutual_nn(dist, HAMMING_DIST_THR_LOW)
     return nn_mf, matched
 
 
@@ -161,7 +157,7 @@ def _pose_ba(state: VOState, pose_pred, meas_xy, matched,
     huber_delta = jnp.float32(np.sqrt(5.991))
     sqrt_info = jnp.diag(jnp.asarray(
         [cfg.odom_rot_weight] * 3 + [cfg.odom_pos_weight] * 3, jnp.float32))
-    C = pose_pred @ jnp.linalg.inv(state.prev_pose_cw)   # odometry edge meas
+    C = pose_pred @ lie.se3_inverse(state.prev_pose_cw)  # odometry edge meas
     B = state.prev_pose_cw
     X = state.lm_pos
     si = jnp.broadcast_to(obs_weight, (X.shape[0],)).astype(jnp.float32)
@@ -275,23 +271,18 @@ def _create_landmarks(state: VOState, pose_cw, pts, desc, free_cur,
     carries)."""
     dist = hamming_matrix(desc, state.prev_desc)
     gate = free_cur[:, None] & state.prev_free[None, :]
-    big = jnp.int32(10_000)
-    dist = jnp.where(gate, dist, big)
-    nn_cp = jnp.argmin(dist, axis=1)
-    nn_pc = jnp.argmin(dist, axis=0)
-    d_best = jnp.min(dist, axis=1)
-    mutual = ((nn_pc[nn_cp] == jnp.arange(dist.shape[0]))
-              & (d_best <= HAMMING_DIST_THR_LOW))
+    dist = jnp.where(gate, dist, jnp.int32(MASK_DIST))
+    nn_cp, mutual = mutual_nn(dist, HAMMING_DIST_THR_LOW)
 
     b_cur = camera_jax.unproject(cam_kind, cam_params, pts)
     b_prev = camera_jax.unproject(cam_kind, cam_params,
                                   state.prev_pts[nn_cp])
     # camera 1 = previous frame, camera 2 = current frame
-    T21 = pose_cw @ jnp.linalg.inv(state.prev_pose_cw)
+    from slam_tpu.ops import lie
+    T21 = pose_cw @ lie.se3_inverse(state.prev_pose_cw)
 
     # epipolar gate under the pair's relative pose: symmetric angular
     # distance of each bearing to the other's epipolar plane
-    from slam_tpu.ops import lie
     E = lie.skew(T21[:3, 3]) @ T21[:3, :3]          # b2^T E b1 = 0
     n2 = b_prev @ E.T                                # epipolar normals, cam2
     n1 = b_cur @ E                                   # epipolar normals, cam1
@@ -351,7 +342,7 @@ def _create_landmarks(state: VOState, pose_cw, pts, desc, free_cur,
     lm_depth = state.lm_depth.at[slot].set(depth, mode="drop")
     lm_n_obs = state.lm_n_obs.at[slot].set(2, mode="drop")
     return (lm_pos, lm_desc, lm_valid, lm_last_seen, lm_anchor_origin,
-            lm_anchor_ray, lm_depth, lm_n_obs, jnp.sum(assign))
+            lm_anchor_ray, lm_depth, lm_n_obs, assign)
 
 
 def _resolve_camera(cfg: DeviceVOConfig, camera):
@@ -424,8 +415,14 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
                              lm_n_obs=lm_n_obs, lm_last_seen=lm_last_seen)
 
         (lm_pos, lm_desc, lm_valid, lm_last_seen, lm_anchor_origin,
-         lm_anchor_ray, lm_depth, lm_n_obs, n_new) = _create_landmarks(
+         lm_anchor_ray, lm_depth, lm_n_obs, assigned) = _create_landmarks(
             mid, pose_cw, pts, desc, free_cur, cam_kind, cam_params, cfg)
+        n_new = jnp.sum(assigned)
+        # creation-claimed features are no longer free: without this, a
+        # feature whose fresh landmark misses next frame's projection match
+        # would re-triangulate and mint a duplicate landmark (the reference
+        # marks creation-claimed keypoints via their observation slot)
+        free_cur = free_cur & ~assigned
 
         # --- staleness culling (cullMapPoints analogue)
         lm_valid = lm_valid & ((state.frame_idx - lm_last_seen)
