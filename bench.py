@@ -22,10 +22,10 @@ import numpy as np
 def render_world(n_frames=36, n_landmarks=500, width=640, height=480, seed=0):
     """A textured dot-field world: each landmark splats a unique 11x11 patch."""
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
-    from synthetic_world import make_world
+    from synthetic_world import make_world, default_camera
 
     world = make_world(n_frames=n_frames, n_landmarks=n_landmarks, seed=seed,
-                       trajectory="line")
+                       trajectory="line", camera=default_camera(width, height))
     rng = np.random.default_rng(seed + 1)
     patches = rng.integers(40, 255, (n_landmarks, 11, 11)).astype(np.uint8)
     return world, patches
@@ -341,20 +341,59 @@ def bench_roundtrip(n_reps=30):
     return (time.perf_counter() - t0) / n_reps * 1e3
 
 
+def _probe_device(timeout_s=None):
+    """Return the default jax platform, or None if backend init hangs/fails.
+
+    The dev TPU is tunnel-attached and the per-process session claim can hang
+    indefinitely during outages, so probe in a killable subprocess: bench.py
+    must always emit its one JSON line."""
+    import subprocess
+    if timeout_s is None:
+        timeout_s = float(os.environ.get("SLAM_TPU_BENCH_PROBE_TIMEOUT", "240"))
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", "import jax; print(jax.devices()[0].platform)"],
+            capture_output=True, text=True, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return None
+    if r.returncode != 0:
+        return None
+    return r.stdout.strip().splitlines()[-1] if r.stdout.strip() else None
+
+
 def main():
+    platform = _probe_device()
+    fallback = platform is None
+    if fallback:
+        # Tunnel outage: fall back to the host CPU at reduced shapes so the
+        # run still records a (marked) number. The 1-core host is NOT the
+        # target hardware -- treat these values as availability evidence only.
+        os.environ["PALLAS_AXON_POOL_IPS"] = ""
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        platform = "cpu_fallback"
+
     roundtrip_ms = bench_roundtrip()
-    frontend_ms = bench_frontend()
-    ba_ms = bench_ba_solve()
-    fps, n_kfs, n_mps = bench_pipeline()
-    agg_sessions = 4
-    agg_fps = bench_aggregate(n_sessions=agg_sessions)
-    device_vo_fps = bench_device_vo()
+    frontend_ms = bench_frontend(n_reps=3 if fallback else 30)
+    ba_ms = bench_ba_solve(n_reps=3 if fallback else 10)
+    if fallback:
+        fps, n_kfs, n_mps = bench_pipeline(n_frames=18, n_passes=1)
+        agg_sessions = 2
+        agg_fps = bench_aggregate(n_sessions=agg_sessions, n_frames=12)
+        device_vo_fps = bench_device_vo(n_sequences=2, n_chunks=2,
+                                        width=320, height=240)
+    else:
+        fps, n_kfs, n_mps = bench_pipeline()
+        agg_sessions = 4
+        agg_fps = bench_aggregate(n_sessions=agg_sessions)
+        device_vo_fps = bench_device_vo()
     baseline_fps = 20.0  # reference CPU real-time camera rate (see docstring)
     print(json.dumps({
         "metric": "synthetic_vo_keyframes_per_sec",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / baseline_fps, 3),
+        "platform": platform,
         "aggregate_keyframes_per_sec": round(agg_fps, 3),
         "aggregate_sessions": agg_sessions,
         "vs_baseline_aggregate": round(agg_fps / baseline_fps, 3),
