@@ -123,15 +123,73 @@ def render_matches(image1: np.ndarray, pts1: np.ndarray,
     return canvas
 
 
+COLOR_ATLAS = (230, 230, 230)     # reference draws atlas frusta in theme.fg
+
+
+def _atlas_tracks(atlas, atlas_controls, ax):
+    """Per-map atlas keyframe tracks with the reference's layout applied.
+
+    Replicates slam_viewer.cpp:122-161 + 421-428: auto offsets place maps in
+    two rows spaced 1.5x the largest keyframe bounding box; each map also
+    carries user alignment controls (angle, x, y) — angle rotates the map by
+    angle*pi in the viewing plane, x/y translate it (Viewer::atlasOffset).
+    ``atlas`` entries are ViewerDataPublisher.set_atlas dicts. Returns
+    [(map_ind, kf_ids, centers (N, 3), forwards (N, 3))]."""
+    entries = []
+    d_max = np.zeros(2)
+    for m in atlas:
+        kf_ids, centers, fwds = [], [], []
+        for kf in m.get("keyframes", []):
+            pose_wc = np.asarray(kf["poseWC"], float)
+            kf_ids.append(int(kf["id"]))
+            centers.append(pose_wc[:3, 3])
+            fwds.append(pose_wc[:3, :3] @ np.array([0.0, 0.0, 1.0]))
+        centers = np.array(centers).reshape(-1, 3)
+        fwds = np.array(fwds).reshape(-1, 3)
+        if len(centers) > 1:
+            d = centers[:, ax].max(axis=0) - centers[:, ax].min(axis=0)
+            d_max = np.maximum(d_max, d)
+        entries.append((kf_ids, centers, fwds))
+    off_auto = 1.5 * d_max
+    out = []
+    for map_ind, (kf_ids, centers, fwds) in enumerate(entries):
+        angle, cx, cy = (atlas_controls[map_ind]
+                         if atlas_controls and map_ind < len(atlas_controls)
+                         else (0.0, 0.0, 0.0))
+        if angle:
+            # in-plane rotation by angle*pi (reference rotates poseWC about
+            # the view-up axis before offsetting)
+            c, s = np.cos(angle * np.pi), np.sin(angle * np.pi)
+            rot = np.array([[c, -s], [s, c]])
+            centers = centers.copy()
+            fwds = fwds.copy()
+            centers[:, list(ax)] = centers[:, ax] @ rot.T
+            fwds[:, list(ax)] = fwds[:, ax] @ rot.T
+        n = map_ind + 1
+        offset = np.array([(n % 2) * off_auto[0] + cx,
+                           (n // 2) * off_auto[1] + cy])
+        centers = centers.copy()
+        centers[:, list(ax)] = centers[:, ax] + offset
+        out.append((map_ind, kf_ids, centers, fwds))
+    return out
+
+
 def render_map_orthographic(map_db, plane: str = "xz", size: int = 800,
                             margin: float = 0.07,
                             covisibility: bool = True,
-                            min_covisibilities: int = 15) -> np.ndarray:
+                            min_covisibilities: int = 15,
+                            atlas=None, atlas_controls=None) -> np.ndarray:
     """Top-down (or other plane) view of the map: point cloud, SLAM +
     odometry trajectories, covisibility-graph edges, accepted loop-closure
     edges, loop-stage keyframe coloring, and frustum heading ticks — the
     headless counterpart of the reference Pangolin viewer's map pane
-    (slam_viewer.cpp:27-63: frusta, covisibility edges, loop-stage colors)."""
+    (slam_viewer.cpp:27-63: frusta, covisibility edges, loop-stage colors).
+
+    ``atlas`` (ViewerDataPublisher.set_atlas dicts) draws loaded read-only
+    maps alongside the current one with the reference's two-row auto layout
+    and per-map (angle, x, y) alignment controls (slam_viewer.cpp:122-161,
+    287-310, 421-428); relocation loop stages recorded against an atlas
+    keyframe color it like the reference's relocation highlight."""
     from slam_tpu.map.map_point import MapPointStatus
 
     ax = {"xy": (0, 1), "xz": (0, 2), "yz": (1, 2)}[plane]
@@ -141,7 +199,10 @@ def render_map_orthographic(map_db, plane: str = "xz", size: int = 800,
     kf_items = sorted(map_db.keyframes.items())
     traj = [se3.camera_center(kf.pose_cw) for _, kf in kf_items]
     odom = [se3.camera_center(kf.orig_pose_cw) for _, kf in kf_items]
-    every = np.array(pts + traj + odom) if (pts or traj) else np.zeros((1, 3))
+    atlas_tracks = _atlas_tracks(atlas, atlas_controls, ax) if atlas else []
+    atlas_pts = [c for _, _, centers, _ in atlas_tracks for c in centers]
+    every = (np.array(pts + traj + odom + atlas_pts)
+             if (pts or traj or atlas_pts) else np.zeros((1, 3)))
     lo = every[:, ax].min(axis=0)
     hi = every[:, ax].max(axis=0)
     span = np.maximum(hi - lo, 1e-6)
@@ -179,8 +240,37 @@ def render_map_orthographic(map_db, plane: str = "xz", size: int = 800,
             fwd = np.asarray(kf.pose_cw)[:3, :3].T @ np.array([0.0, 0.0, 1.0])
             draw_line(img, project(c), project(np.asarray(c) + scale * fwd),
                       COLOR_TRAJ)
-    # loop-stage coloring of the keyframes that recorded a stage
-    for key, stage in getattr(map_db, "loop_stages", {}).items():
+    # atlas maps: keyframe tracks + heading ticks in fg color
+    # (slam_viewer.cpp:287-310; atlas map-point drawing is commented out
+    # in the reference, so only keyframes are rendered)
+    stages = getattr(map_db, "loop_stages", {})
+    if atlas_tracks:
+        scale = 0.02 * float(np.max(span))
+        for map_ind, kf_ids, acenters, afwds in atlas_tracks:
+            proj = project(acenters)
+            for a, b in zip(proj[:-1], proj[1:]):
+                draw_line(img, a, b, COLOR_ATLAS)
+            draw_points(img, proj, COLOR_ATLAS, 2)
+            for c, f in zip(acenters, afwds):
+                draw_line(img, project(c), project(c + scale * f),
+                          COLOR_ATLAS)
+            # relocation-stage highlight on the atlas keyframe the candidate
+            # came from (reference animates RELOCATION_MAP_POINT_RANSAC)
+            by_id = {k: i for i, k in enumerate(kf_ids)}
+            for key, stage in stages.items():
+                if (getattr(key, "map_id", None) == map_ind
+                        and int(getattr(key, "kf_id", -1)) in by_id):
+                    draw_points(img,
+                                proj[by_id[int(key.kf_id)]][None],
+                                STAGE_COLORS.get(int(stage),
+                                                 (255, 255, 255)), 3)
+    # loop-stage coloring of the current-map keyframes that recorded a stage
+    # (atlas-map stages are drawn on the atlas tracks above; without the
+    # map-id check they would mis-color a same-id current keyframe)
+    from slam_tpu.map.mapdb import CURRENT_MAP_ID
+    for key, stage in stages.items():
+        if getattr(key, "map_id", CURRENT_MAP_ID) != CURRENT_MAP_ID:
+            continue
         kf_id = getattr(key, "kf_id", key)
         if kf_id in centers:
             draw_points(img, project(centers[kf_id])[None],
@@ -279,7 +369,9 @@ class PngDebugPublisher:
         write_png(path, render_pyramid(pyramid))
         return path
 
-    def visualize_map(self, map_db, plane: str = "xz") -> str:
+    def visualize_map(self, map_db, plane: str = "xz", atlas=None,
+                      atlas_controls=None) -> str:
         path = self._path("map")
-        write_png(path, render_map_orthographic(map_db, plane))
+        write_png(path, render_map_orthographic(map_db, plane, atlas=atlas,
+                                                atlas_controls=atlas_controls))
         return path

@@ -97,6 +97,52 @@ class TestViewerPublisher:
         assert len(snap["keyframes"]) == len(kfs)
         slam.end().result(timeout=60)
 
+    def test_atlas_overlay_render(self, tmp_path):
+        """Atlas maps render alongside the current map with the reference's
+        two-row auto layout and per-map alignment controls
+        (slam_viewer.cpp:122-161, 287-310, 421-428), and relocation stages
+        recorded against an atlas keyframe highlight that keyframe, not a
+        same-id current-map one."""
+        from slam_tpu.ids import KfId, MapId
+        from slam_tpu.map.mapdb import LoopStage, MapKf
+        from slam_tpu.utils import viz2d
+
+        world = make_world(n_frames=10, n_landmarks=200)
+        pub = ViewerDataPublisher()
+        tracker = TrackSimulator(world)
+        slam = Slam.build(_params(), orb_extractor=FakeOrbExtractor(world, tracker))
+        slam.connect_debug_api(viewer_publisher=pub)
+        _ = [f.result(timeout=60) for f in _run_session(slam, world, 10, tracker)]
+        db = slam._mapper.map_db
+        # fabricate one atlas map from the session's own keyframes (the
+        # publisher export format) and record a relocation stage against it
+        pub.set_atlas([db])
+        atlas = pub.get_atlas()
+        assert atlas and atlas[0]["keyframes"]
+        atlas_kf = KfId(atlas[0]["keyframes"][0]["id"])
+        db.loop_stages[MapKf(MapId(0), atlas_kf)] = \
+            LoopStage.RELOCATION_MAP_POINT_RANSAC
+
+        base = viz2d.render_map_orthographic(db)
+        with_atlas = viz2d.render_map_orthographic(db, atlas=atlas)
+        assert with_atlas.shape == base.shape
+        assert not np.array_equal(base, with_atlas)
+        # the atlas track renders in the reference's fg color
+        fg = np.all(with_atlas == np.array(viz2d.COLOR_ATLAS, np.uint8), axis=-1)
+        assert fg.any()
+        # the relocation highlight must land on the atlas track, not on the
+        # same-id current-map keyframe: the base render has no stage color
+        stage_c = np.array(viz2d.STAGE_COLORS[int(
+            LoopStage.RELOCATION_MAP_POINT_RANSAC)], np.uint8)
+        assert not np.all(base == stage_c, axis=-1).any()
+        assert np.all(with_atlas == stage_c, axis=-1).any()
+        # alignment controls move the atlas map
+        moved = viz2d.render_map_orthographic(
+            db, atlas=atlas, atlas_controls=[(0.5, 3.0, -2.0)])
+        assert not np.array_equal(with_atlas, moved)
+        viz2d.write_png(str(tmp_path / "atlas.png"), with_atlas)
+        slam.end().result(timeout=60)
+
     def test_map_point_search_view(self, tmp_path):
         """searchByProjection debug snapshot (reference:
         visualizeMapPointSearch, opencv_viewer_data_publisher.cpp:210-246):
