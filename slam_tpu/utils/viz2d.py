@@ -201,10 +201,22 @@ def render_map_orthographic(map_db, plane: str = "xz", size: int = 800,
     odom = [se3.camera_center(kf.orig_pose_cw) for _, kf in kf_items]
     atlas_tracks = _atlas_tracks(atlas, atlas_controls, ax) if atlas else []
     atlas_pts = [c for _, _, centers, _ in atlas_tracks for c in centers]
-    every = (np.array(pts + traj + odom + atlas_pts)
-             if (pts or traj or atlas_pts) else np.zeros((1, 3)))
-    lo = every[:, ax].min(axis=0)
-    hi = every[:, ax].max(axis=0)
+    # framing: full extent of the trajectories, but only the 1-99 percentile
+    # of the point cloud — a handful of mis-triangulated far points must not
+    # squash the map into a corner (off-frame dots are simply clipped)
+    lo_hi = []
+    if pts:
+        p = np.array(pts)[:, ax]
+        lo_hi.append((np.percentile(p, 1, axis=0),
+                      np.percentile(p, 99, axis=0)))
+    tracks = traj + odom + atlas_pts
+    if tracks:
+        t = np.array(tracks)[:, ax]
+        lo_hi.append((t.min(axis=0), t.max(axis=0)))
+    if not lo_hi:
+        lo_hi.append((np.zeros(2), np.zeros(2)))
+    lo = np.min([l for l, _ in lo_hi], axis=0)
+    hi = np.max([h for _, h in lo_hi], axis=0)
     span = np.maximum(hi - lo, 1e-6)
     lo = lo - margin * span
     span = span * (1 + 2 * margin)

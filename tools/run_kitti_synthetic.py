@@ -102,8 +102,8 @@ def make_sequence(n_frames, laps=1.08):
     return times, poses_cw
 
 
-def run(n_frames=620, drift=0.01, seed=0, viz="", blackout=(310, 314),
-        reloc=True, progress=True, scale=True):
+def run(n_frames=620, drift=0.01, drift_yaw=3e-4, seed=0, viz="",
+        blackout=(310, 314), reloc=True, progress=True, scale=True):
     from slam_tpu.frontends.descriptor_tracker import DescriptorTracker
     from slam_tpu.map.keyframe import MapperInput, Pose
     from slam_tpu.params import Parameters, ParametersSlam, StaticSettings
@@ -153,9 +153,22 @@ def run(n_frames=620, drift=0.01, seed=0, viz="", blackout=(310, 314),
         if prev_ids and not (ids & prev_ids):
             track_resets += 1
         prev_ids = ids
+        # odometry error model: translation random walk (sigma `drift` per
+        # frame) plus a constant heading-rate bias (`drift_yaw` rad/frame) —
+        # the dominant error mode of real VO over km-scale drives, and the
+        # one loop closure + global BA exist to correct. The bias rotates
+        # the estimated world about the y (up) axis: position error grows
+        # with distance from the origin like real heading drift grows with
+        # distance traveled.
         drift_rw += rng.normal(0.0, drift, 3)
+        ang = drift_yaw * i
+        c, s = np.cos(ang), np.sin(ang)
+        yaw_inv = np.eye(4)
+        yaw_inv[0, 0] = yaw_inv[2, 2] = c
+        yaw_inv[0, 2] = -s                  # inverse of Rot_y(ang)
+        yaw_inv[2, 0] = s
         pose_cw = se3.se3_exp(np.concatenate([np.zeros(3), drift_rw])) \
-            @ poses_cw[i]
+            @ poses_cw[i] @ yaw_inv
         odo_cw.append((times[i], pose_cw.copy()))
         trail.insert(0, Pose(frame_number=i, t=times[i], pose_cw=pose_cw))
         trail = trail[:8]
@@ -263,6 +276,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=620)
     ap.add_argument("--drift", type=float, default=0.01)
+    ap.add_argument("--drift-yaw", type=float, default=3e-4,
+                    help="heading-rate bias, rad/frame")
     ap.add_argument("--no-scale", action="store_true",
                     help="keep default keyframe decision + culling gates")
     ap.add_argument("--seed", type=int, default=0)
@@ -276,7 +291,8 @@ def main():
     if args.cpu:
         import jax
         jax.config.update("jax_platforms", "cpu")
-    res = run(n_frames=args.frames, drift=args.drift, seed=args.seed,
+    res = run(n_frames=args.frames, drift=args.drift,
+              drift_yaw=args.drift_yaw, seed=args.seed,
               viz=args.viz, reloc=not args.no_reloc, scale=not args.no_scale,
               blackout=None if args.no_blackout else (args.frames // 2,
                                                       args.frames // 2 + 4))
