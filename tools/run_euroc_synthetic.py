@@ -99,12 +99,13 @@ def render(scene, pose_cw, cam=CAM):
             & (t < best_t)
         if not hit.any():
             continue
-        tu = (pu[hit] + ue) / (2 * ue) * (TEX_SIZE - 1)
-        tv = (pv[hit] + ve) / (2 * ve) * (TEX_SIZE - 1)
+        ts_v, ts_u = tex.shape           # size from the texture itself, so
+        tu = (pu[hit] + ue) / (2 * ue) * (ts_u - 1)   # callers may pass any
+        tv = (pv[hit] + ve) / (2 * ve) * (ts_v - 1)   # resolution
         iu, iv = tu.astype(np.int64), tv.astype(np.int64)
         fu, fv = tu - iu, tv - iv
-        iu1 = np.minimum(iu + 1, TEX_SIZE - 1)
-        iv1 = np.minimum(iv + 1, TEX_SIZE - 1)
+        iu1 = np.minimum(iu + 1, ts_u - 1)
+        iv1 = np.minimum(iv + 1, ts_v - 1)
         val_px = (tex[iv, iu] * (1 - fu) * (1 - fv)
                   + tex[iv, iu1] * fu * (1 - fv)
                   + tex[iv1, iu] * (1 - fu) * fv
@@ -135,6 +136,16 @@ def make_sequence(n_frames, seed=0, fps=20.0):
     phases = np.linspace(0.0, 2.0 * np.pi * 1.12, n_frames)
     poses_cw = np.stack([circle_pose_cw(p) for p in phases])
     return times, poses_cw
+
+
+def ate_rmse(rows, gt_by_t):
+    """ATE RMSE of (t, x, y, z[, ...]) rows vs a {t: gt_center} dict,
+    nearest-time association, translation-aligned (mean removed). Shared by
+    the EuRoC- and KITTI-class runners."""
+    err = np.array([r[1:4] - gt_by_t[min(gt_by_t, key=lambda t:
+                                         abs(t - r[0]))] for r in rows])
+    err -= err.mean(axis=0)
+    return float(np.sqrt((err ** 2).sum(axis=1).mean()))
 
 
 def run(n_frames=240, stride=1, drift=0.0015, seed=0, out="",
@@ -202,10 +213,7 @@ def run(n_frames=240, stride=1, drift=0.0015, seed=0, out="",
                       np.round(list(gt_by_t.keys()), 6))]
 
     def ate(rows):
-        err = np.array([r[1:4] - gt_by_t[min(gt_by_t, key=lambda t:
-                                             abs(t - r[0]))] for r in rows])
-        err -= err.mean(axis=0)
-        return float(np.sqrt((err ** 2).sum(axis=1).mean()))
+        return ate_rmse(rows, gt_by_t)
 
     odo_rows = np.array([[t, *se3.camera_center(p)] for t, p in odo_cw])
     result = {
@@ -235,7 +243,13 @@ def main():
     ap.add_argument("--out", default="")
     ap.add_argument("--viz", default="")
     ap.add_argument("--dump-frames", default="")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (TPU tunnel down); config "
+                         "update works post-import, env vars alone do not")
     args = ap.parse_args()
+    if args.cpu:
+        import jax
+        jax.config.update("jax_platforms", "cpu")
     res = run(n_frames=args.frames, stride=args.stride, drift=args.drift,
               seed=args.seed, out=args.out, viz=args.viz,
               dump_frames=args.dump_frames)

@@ -12,8 +12,8 @@ ground-truth odometry (the reference's L0 host-VIO contract, SURVEY.md §1).
 
 Scene: a street canyon — an outer wall ring and an inner city "block",
 both carrying tiled high-contrast block textures, plus a ground plane.
-The camera drives a circular circuit in the street at ~9 m/s (KITTI-like),
-1.08 laps so the tail revisits the start (loop closure + global BA,
+The camera drives a circular circuit in the street at ~9 m/s (KITTI-like);
+past one full lap the tail revisits the start (loop closure + global BA,
 reference loop_closer.cpp + mapper_helpers.cpp flow). Mid-run a short
 camera blackout kills every active track (tracking loss); the run must
 survive it on the odometry prior. After the drive the map is saved and a
@@ -39,7 +39,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from slam_tpu.geometry import se3
 from slam_tpu.geometry.camera import PinholeCamera
 
-from run_euroc_synthetic import render, circle_pose_cw  # shared ray-caster
+from run_euroc_synthetic import (render, circle_pose_cw,  # shared ray-caster
+                                 ate_rmse)
 
 # KITTI odometry grayscale cam0 (sequences 00-02 intrinsics), 10 Hz
 CAM = PinholeCamera(fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
@@ -47,9 +48,11 @@ CAM = PinholeCamera(fx=718.856, fy=718.856, cx=607.1928, cy=185.2157,
 FPS = 10.0
 
 # street-canyon geometry (meters): outer wall ring half-extent, inner city
-# block half-extent, wall height, circuit radius in the street between them
+# block half-extent, wall height, circuit radius in the street between them.
+# The circle must clear the inner block at the 45-degree diagonals:
+# RADIUS / sqrt(2) = 56.6 > INNER (else the camera drives through walls).
 OUTER = 95.0
-INNER = 65.0
+INNER = 52.0
 WALL_H = 10.0
 RADIUS = 80.0
 TEX_SIZE = 2048
@@ -91,13 +94,14 @@ def make_street_scene(seed=0):
     return textures, planes
 
 
-def make_sequence(n_frames, laps=1.08):
-    """Circuit ground truth: `laps` times around, revisiting the start."""
+def make_sequence(n_frames):
+    """Circuit ground truth: constant-speed drive around the circle; the
+    revisit (loop closure) happens after one full lap, ~frame 558 at the
+    defaults, and the camera keeps driving past it."""
     times = np.arange(n_frames) / FPS
-    total_angle = 2.0 * np.pi * laps
     # constant speed: angle step from SPEED m/frame at RADIUS
     step = SPEED / FPS / RADIUS
-    phases = np.minimum(np.arange(n_frames) * step, total_angle)
+    phases = np.arange(n_frames) * step
     poses_cw = np.stack([circle_pose_cw(p, radius=RADIUS) for p in phases])
     return times, poses_cw
 
@@ -195,16 +199,16 @@ def run(n_frames=620, drift=0.01, drift_yaw=3e-4, seed=0, viz="",
     est = np.genfromtxt(traj_path, delimiter=",")
 
     def ate(rows):
-        err = np.array([r[1:4] - gt_by_t[min(gt_by_t, key=lambda t:
-                                             abs(t - r[0]))] for r in rows])
-        err -= err.mean(axis=0)
-        return float(np.sqrt((err ** 2).sum(axis=1).mean()))
+        return ate_rmse(rows, gt_by_t)
 
     odo_rows = np.array([[t, *se3.camera_center(p)] for t, p in odo_cw])
     n = len(mapper_ms_trace)
+    q = max(1, n // 4)
+    centers = np.array([se3.camera_center(p) for p in poses_cw])
     result = {
         "frames": n_frames,
-        "trajectory_m": round(SPEED / FPS * n_frames, 1),
+        "trajectory_m": round(float(np.sum(np.linalg.norm(
+            np.diff(centers, axis=0), axis=1))), 1),
         "keyframes": len(mapper.map_db.keyframes),
         "map_points": len(mapper.map_db.map_points),
         "loop_closures": len(mapper.map_db.loop_closure_edges),
@@ -217,9 +221,9 @@ def run(n_frames=620, drift=0.01, drift_yaw=3e-4, seed=0, viz="",
         # per-frame host time must stay bounded as the map grows (config-5
         # scale contract; see test_config5_scale_host_time_bounded)
         "mapper_ms_first_quarter": round(float(np.mean(
-            mapper_ms_trace[:n // 4])), 1),
+            mapper_ms_trace[:q])), 1),
         "mapper_ms_last_quarter": round(float(np.mean(
-            mapper_ms_trace[-n // 4:])), 1),
+            mapper_ms_trace[-q:])), 1),
     }
     if viz:
         from slam_tpu.utils.viz2d import PngDebugPublisher
