@@ -28,16 +28,23 @@ class MapPointStatus(enum.IntEnum):
     BAD = 3
 
 
+_MIRRORED = frozenset(("status", "position", "norm", "min_viewing_distance",
+                       "max_viewing_distance", "descriptor"))
+
+
 class MapPoint:
     # fixed attribute set: map points are created by the hundreds per
     # keyframe inside createNewMapPoints, and slot objects allocate/access
     # measurably faster than dict-backed ones on that path
     __slots__ = ("id", "track_id", "status", "position", "norm",
                  "min_viewing_distance", "max_viewing_distance", "descriptor",
-                 "observations", "reference_keyframe", "color")
+                 "observations", "reference_keyframe", "color",
+                 "_store", "_row")
 
     def __init__(self, mp_id: MpId = MpId(-1), keyframe_id: KfId = KfId(-1),
                  keypoint_id: KpId = KpId(-1)):
+        object.__setattr__(self, "_store", None)
+        object.__setattr__(self, "_row", -1)
         self.id = mp_id
         self.track_id: TrackId = NO_TRACK
         self.status = MapPointStatus.NOT_TRIANGULATED
@@ -52,15 +59,46 @@ class MapPoint:
         if keyframe_id.valid:
             self.add_observation(keyframe_id, keypoint_id)
 
+    def __setattr__(self, name, value):
+        # write-through into the owning MapDB's columnar store (map/mp_store
+        # .py) so pipeline stages read vectorized columns instead of walking
+        # objects; registration happens when the point enters MapDB
+        object.__setattr__(self, name, value)
+        store = self._store
+        if store is not None and name in _MIRRORED:
+            getattr(store, name)[self._row] = (
+                int(value) if name == "status" else value)
+
     # ------------------------------------------------------------------
 
     def add_observation(self, keyframe_id: KfId, keypoint_id: KpId) -> None:
         assert keyframe_id not in self.observations
         self.observations[keyframe_id] = keypoint_id
+        store = self._store
+        if store is not None:
+            row = self._row
+            store.n_obs[row] += 1
+            fk = store.first_kf[row]
+            if fk < 0 or int(keyframe_id) < fk:
+                store.first_kf[row] = int(keyframe_id)
+
+    def set_observation(self, keyframe_id: KfId, keypoint_id: KpId) -> None:
+        """Insert-or-replace (used by merge rewiring, mapdb.cpp:193-222)."""
+        if keyframe_id in self.observations:
+            self.observations[keyframe_id] = keypoint_id
+        else:
+            self.add_observation(keyframe_id, keypoint_id)
 
     def erase_observation(self, keyframe_id: KfId) -> None:
         assert keyframe_id in self.observations
         del self.observations[keyframe_id]
+        store = self._store
+        if store is not None:
+            row = self._row
+            store.n_obs[row] -= 1
+            if store.first_kf[row] == int(keyframe_id):
+                store.first_kf[row] = (int(min(self.observations))
+                                       if self.observations else -1)
 
     def get_first_observation(self) -> KfId:
         assert self.observations

@@ -17,7 +17,34 @@ from slam_tpu.geometry import se3
 from slam_tpu.ids import KfId, KpId, MapId, MpId, TrackId, CURRENT_MAP_ID
 from slam_tpu.map.keyframe import Keyframe, Pose
 from slam_tpu.map.map_point import MapPoint
+from slam_tpu.map.mp_store import MpStore
 from slam_tpu.params import Parameters, ParametersSlam
+
+
+class _MpDict(dict):
+    """``map_points`` registry that keeps the columnar ``MpStore`` in sync:
+    every insert adopts the point into the store (allocating its row), every
+    delete releases it. All pipeline mutation paths go through item
+    assignment / ``del`` on this dict."""
+
+    __slots__ = ("store",)
+
+    def __init__(self, store: MpStore):
+        super().__init__()
+        self.store = store
+
+    def __setitem__(self, mp_id, mp):
+        assert mp_id not in self, "map point ids are never reused"
+        super().__setitem__(mp_id, mp)
+        self.store.adopt(mp)
+
+    def __delitem__(self, mp_id):
+        mp = self[mp_id]
+        super().__delitem__(mp_id)
+        self.store.release(mp)
+
+    def pop(self, *a, **k):  # pragma: no cover - keep the registry coherent
+        raise NotImplementedError("use del map_points[id]")
 
 
 class LoopStage(enum.IntEnum):
@@ -71,7 +98,8 @@ def _find_in_pose_trail(pose_trail: List[Pose], kf_id: KfId) -> Optional[Pose]:
 class MapDB:
     def __init__(self):
         self.keyframes: Dict[KfId, Keyframe] = {}
-        self.map_points: Dict[MpId, MapPoint] = {}
+        self.mp_store = MpStore()
+        self.map_points: Dict[MpId, MapPoint] = _MpDict(self.mp_store)
         self.track_id_to_map_point: Dict[TrackId, MpId] = {}
         self.loop_closure_edges: List[LoopClosureEdge] = []
         self.discarded_uncertainty = np.zeros((3, 6))
@@ -220,7 +248,7 @@ class MapDB:
                 kf.map_points[i] = int(first)
                 if kp_id in kf.keypoint_to_track:
                     kf.keypoint_to_track[kp_id] = first_mp.track_id
-                first_mp.observations[kf.id] = kp_id
+                first_mp.set_observation(kf.id, kp_id)
         if last_track.valid:
             del self.track_id_to_map_point[last_track]
         del self.map_points[last]

@@ -64,10 +64,15 @@ def compute_adjacent_keyframes(current_keyframe: Keyframe,
     adjacent = sorted(adjacent_set)
 
     # keep the N closest by camera-center distance (mapper_helpers.cpp:206-216)
+    # — one stacked distance computation + stable argsort (ties keep
+    # ascending-id order, identical to the stable key sort)
     current_pos = current_keyframe.camera_center()
-    adjacent.sort(key=lambda kf_id: float(
-        np.sum((map_db.keyframes[kf_id].camera_center() - current_pos) ** 2)))
-    adjacent = adjacent[:max_keyframes]
+    if adjacent:
+        centers = np.stack([map_db.keyframes[k].camera_center()
+                            for k in adjacent])
+        d2 = np.sum((centers - current_pos) ** 2, axis=1)
+        order = np.argsort(d2, kind="stable")[:max_keyframes]
+        adjacent = [adjacent[int(i)] for i in order]
 
     if visualize and settings.parameters.slam.kfAsciiAdjacent:
         # reference: mapper_helpers.cpp:218-226

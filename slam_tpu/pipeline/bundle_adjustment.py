@@ -161,13 +161,22 @@ class _ProblemBuilder:
             self.points_fixed.append(fixed)
         return slot
 
-    def add_map_points_bulk(self, mps, fixed: bool = False) -> None:
-        """add_map_point for a list of fresh points (none already present)."""
+    def add_map_points_bulk(self, mps, fixed: bool = False,
+                            positions: Optional[np.ndarray] = None) -> None:
+        """add_map_point for a list of fresh points (none already present).
+
+        ``positions``: optional (N, 3) array (columnar-store gather) saving
+        the per-object attribute walk."""
         base = len(self.mp_ids)
-        for mp in mps:
-            self.mp_ids.append(mp.id)
-            self.points.append(np.asarray(mp.position, np.float64))
-            self.points_fixed.append(fixed)
+        if positions is None:
+            for mp in mps:
+                self.mp_ids.append(mp.id)
+                self.points.append(np.asarray(mp.position, np.float64))
+                self.points_fixed.append(fixed)
+        else:
+            self.mp_ids.extend(mp.id for mp in mps)
+            self.points.extend(np.asarray(positions, np.float64))
+            self.points_fixed.extend([fixed] * len(mps))
         self.mp_slot.update(
             (mp.id, base + i) for i, mp in enumerate(mps))
 
@@ -420,18 +429,16 @@ def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
             break
 
     # vectorized map-point collection: unique positive slots over the local
-    # keyframes, then ONE status check per unique id (the scalar loop did one
-    # dict lookup per (keyframe, slot) pair)
+    # keyframes, then one columnar status gather over the unique ids
     vals_per_kf = [map_db.keyframes[k].map_points for k in local_keyframes]
     pos_vals = np.concatenate(vals_per_kf)
     uniq = np.unique(pos_vals[pos_vals >= 0])
-    tri_mps = []
-    for v in uniq.tolist():
-        mp = map_db.map_points[v]
-        if mp.status == MapPointStatus.TRIANGULATED:
-            tri_mps.append(mp)
-    local_mp_vals = np.fromiter((int(mp.id) for mp in tri_mps), np.int64,
-                                len(tri_mps))
+    store = map_db.mp_store
+    rows, live = store.rows_of(uniq)
+    keep = live & (store.status[rows] == int(MapPointStatus.TRIANGULATED))
+    tri_rows = rows[keep]
+    tri_mps = [store.objs[r] for r in tri_rows.tolist()]
+    local_mp_vals = uniq[keep]
     local_map_points.update(local_mp_vals.tolist())
     cur_vals = keyframe.map_points[keyframe.map_points >= 0]
     n_current_frame_mps = int(np.isin(cur_vals, local_mp_vals).sum())
@@ -453,7 +460,8 @@ def local_bundle_adjust(keyframe: Keyframe, workspace: WorkspaceBA,
     # map points enter in ascending-id order (tri_mps is np.unique-sorted),
     # so slot == rank in local_mp_vals and the per-observation slot lookup
     # below is one searchsorted instead of a dict get per observation
-    builder.add_map_points_bulk(tri_mps, fixed=False)
+    builder.add_map_points_bulk(tri_mps, fixed=False,
+                                positions=store.position[tri_rows])
     # observations, bulk per keyframe (same (kf, mp) set as the reference's
     # per-map-point loop; order within the padded arrays is irrelevant)
     for kf_id in sorted(local_keyframes):
@@ -550,12 +558,13 @@ def pose_bundle_adjust(keyframe: Keyframe, map_db: MapDB,
                        settings: StaticSettings) -> bool:
     """reference: bundle_adjuster.cpp:396-491"""
     parameters = settings.parameters.slam
-    triangulated = [
-        (KpId(i), MpId(int(mp_val)))
-        for i, mp_val in enumerate(keyframe.map_points)
-        if mp_val >= 0
-        and map_db.map_points[MpId(int(mp_val))].status == MapPointStatus.TRIANGULATED]
-    if len(triangulated) < parameters.minVisibleMapPointsInCurrentFrameBA:
+    store = map_db.mp_store
+    sel = np.flatnonzero(keyframe.map_points >= 0)
+    vals = keyframe.map_points[sel]
+    rows, live = store.rows_of(vals)
+    keep = live & (store.status[rows] == int(MapPointStatus.TRIANGULATED))
+    sel, vals, rows = sel[keep], vals[keep], rows[keep]
+    if len(sel) < parameters.minVisibleMapPointsInCurrentFrameBA:
         return False
     if not keyframe.previous_kf_id.valid:
         return False
@@ -564,10 +573,12 @@ def pose_bundle_adjust(keyframe: Keyframe, map_db: MapDB,
     builder.add_keyframe(keyframe, fixed=False)
     builder.add_keyframe(map_db.keyframes[keyframe.previous_kf_id], fixed=True)
     builder.add_odometry_edge(keyframe.id, keyframe.previous_kf_id, map_db)
-    for kp_id, mp_id in triangulated:
-        mp = map_db.map_points[mp_id]
-        builder.add_map_point(mp, fixed=True)
-        builder.add_observation(keyframe, kp_id, mp)
+    mps = [store.objs[r] for r in rows.tolist()]
+    builder.add_map_points_bulk(mps, fixed=True,
+                                positions=store.position[rows])
+    builder.add_observations_bulk(
+        keyframe, sel, np.arange(len(sel), dtype=np.int32),
+        [mp.id for mp in mps])
 
     result = builder.solve(parameters.poseBAIterations)
     builder.apply_poses(result, map_db, only={keyframe.id})

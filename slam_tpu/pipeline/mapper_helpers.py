@@ -121,28 +121,20 @@ def match_local_map_points(current_keyframe: Keyframe,
     cur_vals = current_keyframe.map_points
     uniq = uniq[~np.isin(uniq, cur_vals[cur_vals >= 0])]
     # single pass: status gate + batched-isInFrustum column fill
-    # (keyframe.cpp:247-262 semantics)
-    n_max = len(uniq)
-    candidates = []
-    positions = np.empty((n_max, 3))
-    norms = np.empty((n_max, 3), np.float32)
-    min_d = np.empty(n_max)
-    max_d = np.empty(n_max)
-    i = 0
-    for v in uniq.tolist():
-        mp = map_db.map_points[v]
-        if mp.status in (MapPointStatus.NOT_TRIANGULATED, MapPointStatus.BAD):
-            continue
-        candidates.append(mp)
-        positions[i] = mp.position
-        norms[i] = mp.norm
-        min_d[i] = mp.min_viewing_distance
-        max_d[i] = mp.max_viewing_distance
-        i += 1
-    if i == 0:
+    # (keyframe.cpp:247-262 semantics), via the columnar store
+    store = map_db.mp_store
+    rows, live = store.rows_of(uniq)
+    st = store.status[rows]
+    keep = (live & (st != int(MapPointStatus.NOT_TRIANGULATED))
+            & (st != int(MapPointStatus.BAD)))
+    rows = rows[keep]
+    if len(rows) == 0:
         return
-    positions, norms = positions[:i], norms[:i]
-    min_d, max_d = min_d[:i], max_d[:i]
+    candidates = [store.objs[r] for r in rows.tolist()]
+    positions = store.position[rows]
+    norms = store.norm[rows]
+    min_d = store.min_viewing_distance[rows]
+    max_d = store.max_viewing_distance[rows]
     pix, visible = current_keyframe.reproject_many(positions)
     mp_to_kf = (current_keyframe.camera_center() - positions).astype(np.float32)
     dist = np.linalg.norm(mp_to_kf, axis=1)
@@ -158,37 +150,64 @@ def match_local_map_points(current_keyframe: Keyframe,
     matcher.search_by_projection(
         current_keyframe, [mp.id for mp in local], map_db, r, settings,
         precomp=(local, pix[sel], visible[sel], dist[sel], viewing_cos[sel],
-                 min_d[sel], max_d[sel]),
+                 min_d[sel], max_d[sel], store.descriptor[rows[sel]]),
         data_publisher=viewer_publisher)
 
 
-def _batch_triangulate_pairs(cur_kf: Keyframe, adj_kf: Keyframe,
-                             matches, settings: StaticSettings):
-    """Vectorized two-observation triangulation for fresh map points.
+def _batch_triangulate_pairs(cur_kf: Keyframe, pair_list,
+                             settings: StaticSettings):
+    """Vectorized two-observation triangulation for fresh map points, batched
+    over EVERY adjacent keyframe of one ``createNewMapPoints`` pass.
 
     Batched equivalent of ``triangulateMapPoint`` for the 2-observation case
     created by ``createNewMapPoints`` (mapper_helpers.cpp:600-722 with
     observations {adjacent kf, current kf}): depth seeding from the first
     positive-depth observation in KfId order, the two-ray angle gate,
     two-view DLT, and positive-depth + reprojection gates on both frames.
-    Returns (positions (B, 3), ok (B,)).
+
+    ``pair_list``: list of (adj_kf, matches (B_i, 2)) — one entry per
+    adjacent keyframe, matches columns are (cur keypoint, adj keypoint).
+    Returns (positions (B, 3), ok (B,)) concatenated in pair_list order
+    (one SVD batch + one gate pass instead of one per adjacent keyframe).
     """
     parameters = settings.parameters.slam
-    matches = np.asarray(matches, np.int64).reshape(-1, 2)
-    kp_cur = matches[:, 0]
-    kp_adj = matches[:, 1]
-    B = len(matches)
+    B = sum(len(m) for _, m in pair_list)
+    kp_cur = np.empty(B, np.int64)
+    kp_adj = np.empty(B, np.int64)
+    d_adj = np.empty(B)
+    rays_adj = np.empty((B, 3))
+    rays_cur = np.empty((B, 3))
+    c_adj = np.empty((B, 3))
+    n_adj = np.empty((B, 2))
+    ok_a = np.empty(B, bool)
+    P1 = np.empty((B, 3, 4))
+    oct_adj = np.empty(B, np.int64)
+    pts_adj = np.empty((B, 2))
 
-    # KfId order: the adjacent keyframe is always older than the current one
-    assert adj_kf.id < cur_kf.id
-    d_adj = adj_kf.keypoint_depth[kp_adj]
-    d_cur = cur_kf.keypoint_depth[kp_cur]
-    R_adj = adj_kf.camera_to_world_rotation()
     R_cur = cur_kf.camera_to_world_rotation()
-    c_adj = adj_kf.camera_center()
     c_cur = cur_kf.camera_center()
-    rays_adj = adj_kf.shared.bearings[kp_adj] @ R_adj.T
-    rays_cur = cur_kf.shared.bearings[kp_cur] @ R_cur.T
+    o = 0
+    for adj_kf, matches in pair_list:
+        # KfId order: the adjacent keyframe is always older than the current
+        assert adj_kf.id < cur_kf.id
+        m = np.asarray(matches, np.int64).reshape(-1, 2)
+        s = slice(o, o + len(m))
+        o += len(m)
+        kp_cur[s] = m[:, 0]
+        kp_adj[s] = m[:, 1]
+        d_adj[s] = adj_kf.keypoint_depth[m[:, 1]]
+        R_adj = adj_kf.camera_to_world_rotation()
+        rays_adj[s] = adj_kf.shared.bearings[m[:, 1]] @ R_adj.T
+        c_adj[s] = adj_kf.camera_center()
+        npx, oka = adj_kf.shared.camera.normalize_pixel(
+            adj_kf.shared.pts[m[:, 1]])
+        n_adj[s] = npx
+        ok_a[s] = oka
+        P1[s] = adj_kf.pose_cw[:3]
+        oct_adj[s] = adj_kf.shared.octave[m[:, 1]]
+        pts_adj[s] = adj_kf.shared.pts[m[:, 1]]
+    d_cur = cur_kf.keypoint_depth[kp_cur]
+    rays_cur[:] = cur_kf.shared.bearings[kp_cur] @ R_cur.T
 
     positions = np.zeros((B, 3))
     ok = np.zeros(B, bool)
@@ -196,7 +215,8 @@ def _batch_triangulate_pairs(cur_kf: Keyframe, adj_kf: Keyframe,
     # depth seeding: first positive depth in observation order (adj, cur)
     seed_adj = d_adj > 0
     seed_cur = (~seed_adj) & (d_cur > 0)
-    positions[seed_adj] = (d_adj[seed_adj, None] * rays_adj[seed_adj] + c_adj)
+    positions[seed_adj] = (d_adj[seed_adj, None] * rays_adj[seed_adj]
+                           + c_adj[seed_adj])
     positions[seed_cur] = (d_cur[seed_cur, None] * rays_cur[seed_cur] + c_cur)
     seeded = seed_adj | seed_cur
 
@@ -209,13 +229,14 @@ def _batch_triangulate_pairs(cur_kf: Keyframe, adj_kf: Keyframe,
         u2 = rays_cur[dlt] / np.maximum(
             np.linalg.norm(rays_cur[dlt], axis=1, keepdims=True), 1e-12)
         angle_ok = np.sum(u1 * u2, axis=1) < cos_min
-        n_adj, ok_a = adj_kf.shared.camera.normalize_pixel(adj_kf.shared.pts[kp_adj[dlt]])
-        n_cur, ok_c = cur_kf.shared.camera.normalize_pixel(cur_kf.shared.pts[kp_cur[dlt]])
-        P1 = adj_kf.pose_cw[:3]
+        n1 = n_adj[dlt]
+        n_cur, ok_c = cur_kf.shared.camera.normalize_pixel(
+            cur_kf.shared.pts[kp_cur[dlt]])
+        P1d = P1[dlt]
         P2 = cur_kf.pose_cw[:3]
         A = np.stack([
-            n_adj[:, 0, None] * P1[2][None] - P1[0][None],
-            n_adj[:, 1, None] * P1[2][None] - P1[1][None],
+            n1[:, 0, None] * P1d[:, 2] - P1d[:, 0],
+            n1[:, 1, None] * P1d[:, 2] - P1d[:, 1],
             n_cur[:, 0, None] * P2[2][None] - P2[0][None],
             n_cur[:, 1, None] * P2[2][None] - P2[1][None],
         ], axis=1)  # (b, 4, 4)
@@ -227,19 +248,42 @@ def _batch_triangulate_pairs(cur_kf: Keyframe, adj_kf: Keyframe,
         X[nonzero] = Xh[nonzero, :3] / w[nonzero, None]
         idx = np.where(dlt)[0]
         positions[idx] = X
-        ok[idx] = angle_ok & ok_a & ok_c & nonzero
+        ok[idx] = angle_ok & ok_a[dlt] & ok_c & nonzero
     ok[seeded] = True
 
-    # gates on both frames: positive depth + octave-scaled reprojection chi2
-    for kf, kps in ((adj_kf, kp_adj), (cur_kf, kp_cur)):
-        z = positions @ kf.pose_cw[2, :3] + kf.pose_cw[2, 3]
-        pix, vis = kf.reproject_many(positions)
-        rel = get_focal_length(kf) * parameters.relativeReprojectionErrorThreshold
-        ref_scale = len(settings.scaleFactors) // 2
-        sigma2 = (settings.levelSigmaSq[kf.shared.octave[kps]]
+    # gates on both frames: positive depth + octave-scaled reprojection chi2.
+    # Adjacent-side rows carry per-row poses/octaves; the current keyframe is
+    # shared by every row.
+    ref_scale = len(settings.scaleFactors) // 2
+    rel_thr = parameters.relativeReprojectionErrorThreshold
+
+    # adjacent frames: per-row poses fused into one projection batch, camera
+    # model applied per keyframe group (sessions share one camera, but the
+    # model object is per keyframe)
+    z = np.einsum("bj,bj->b", P1[:, 2, :3], positions) + P1[:, 2, 3]
+    pc = np.einsum("bij,bj->bi", P1[:, :, :3], positions) + P1[:, :, 3]
+    o = 0
+    for adj_kf, matches in pair_list:
+        s = slice(o, o + len(matches))
+        o += len(matches)
+        cam = adj_kf.shared.camera
+        pix, vis = cam.ray_to_pixel(pc[s])
+        vis = vis & cam.is_valid_pixel(pix)
+        rel = cam.get_focal_length() * rel_thr
+        sigma2 = (settings.levelSigmaSq[oct_adj[s]]
                   / settings.levelSigmaSq[ref_scale] * rel * rel)
-        err = np.sum((pix - kf.shared.pts[kps]) ** 2, axis=1)
-        ok &= (z > 0) & vis & (err <= CHI2_INV2D * sigma2)
+        err = np.sum((pix - pts_adj[s]) ** 2, axis=1)
+        ok[s] &= (z[s] > 0) & vis & (err <= CHI2_INV2D * sigma2)
+
+    # current frame
+    kf = cur_kf
+    z = positions @ kf.pose_cw[2, :3] + kf.pose_cw[2, 3]
+    pix, vis = kf.reproject_many(positions)
+    rel = get_focal_length(kf) * rel_thr
+    sigma2 = (settings.levelSigmaSq[kf.shared.octave[kp_cur]]
+              / settings.levelSigmaSq[ref_scale] * rel * rel)
+    err = np.sum((pix - kf.shared.pts[kp_cur]) ** 2, axis=1)
+    ok &= (z > 0) & vis & (err <= CHI2_INV2D * sigma2)
     return positions, ok
 
 
@@ -247,7 +291,14 @@ def _batch_triangulate_pairs(cur_kf: Keyframe, adj_kf: Keyframe,
 def create_new_map_points(current_keyframe: Keyframe,
                           adjacent_kf_ids: List[KfId], map_db: MapDB,
                           settings: StaticSettings) -> None:
-    """reference: mapper_helpers.cpp:271-318"""
+    """reference: mapper_helpers.cpp:271-318
+
+    The per-adjacent-keyframe match -> create order is load-bearing: a match
+    triangulated OK claims its current-keyframe keypoint, which must be
+    excluded (``free1``) from the NEXT adjacent keyframe's matcher call, so
+    the loop stays sequential; within one pair every triangulation solve and
+    gate is one vectorized pass."""
+    cur_full = current_keyframe.has_full_features
     for kf_id in adjacent_kf_ids:
         if kf_id == current_keyframe.id:
             continue
@@ -256,25 +307,24 @@ def create_new_map_points(current_keyframe: Keyframe,
                                                  settings)
         if len(matches) == 0:
             continue
-        positions, ok = _batch_triangulate_pairs(current_keyframe, keyframe,
-                                                 matches, settings)
+        positions, ok = _batch_triangulate_pairs(
+            current_keyframe, [(keyframe, matches)], settings)
         # update_descriptor on a fresh 2-observation point always resolves to
         # the first full-featured observation's descriptor (obs sorted by
         # KfId: the adjacent keyframe is older); inline that medoid shortcut
         adj_full = keyframe.has_full_features
-        cur_full = current_keyframe.has_full_features
-        for i, (kp_cur, kp_adj) in enumerate(matches.tolist()):
+        for row, (kp_cur, kp_adj) in enumerate(matches.tolist()):
             # the reference allocates the id and creates the MapPoint before
             # the triangulation check, registering it only on success
             # (mapper_helpers.cpp:302-316) — keep the id sequence identical
             mp_id = map_db.next_mp_id()
-            if not ok[i]:
+            if not ok[row]:
                 continue
             kp_cur, kp_adj = KpId(kp_cur), KpId(kp_adj)
             map_point = MapPoint(mp_id, keyframe.id, kp_adj)
             map_point.color = keyframe.get_keypoint_color(kp_adj)
             map_point.add_observation(current_keyframe.id, kp_cur)
-            map_point.position = positions[i].copy()
+            map_point.position = positions[row].copy()
             map_point.status = MapPointStatus.UNSURE
             current_keyframe.add_observation(map_point.id, kp_cur)
             keyframe.add_observation(map_point.id, kp_adj)
@@ -290,11 +340,21 @@ def deduplicate_map_points(current_keyframe: Keyframe,
                            adjacent_kf_ids: List[KfId], map_db: MapDB,
                            settings: StaticSettings) -> None:
     """reference: mapper_helpers.cpp:320-347"""
+    if not adjacent_kf_ids:
+        return
     margin = (get_focal_length(current_keyframe)
               * settings.parameters.slam.relativeReprojectionErrorThreshold)
-    # attribute columns are loop-invariant within the pass; the cache rebuilds
-    # them only when a merge rewrote the current keyframe's candidate list
+    # attribute columns are loop-invariant within the pass (merges only
+    # rewire observation links) and every candidate id any call can see —
+    # including ids merges write into keyframe slots — lies in the union of
+    # the current + adjacent keyframes' slots, so the columns are built ONCE
+    # over that union and every per-call lookup is a vectorized gather
+    cur_sel = current_keyframe.map_points[current_keyframe.map_points >= 0]
+    allv = np.concatenate([map_db.keyframes[k].map_points
+                           for k in adjacent_kf_ids])
+    adjacent_vals = np.unique(allv[allv >= 0])  # sorted unique ids
     cache = matcher._MpColumnCache(map_db)
+    cache.prime(np.union1d(cur_sel, adjacent_vals))
     prev_key = None
     mp_ids: List[MpId] = []
     for kf_id in adjacent_kf_ids:
@@ -309,31 +369,48 @@ def deduplicate_map_points(current_keyframe: Keyframe,
             mp_ids = [MpId(int(v)) for v in sel]
         matcher.replace_duplication(adjacent, mp_ids, margin, map_db, settings,
                                     cache=cache, cache_key=key)
-    if adjacent_kf_ids:
-        allv = np.concatenate([map_db.keyframes[k].map_points
-                               for k in adjacent_kf_ids])
-        adjacent_vals = np.unique(allv[allv >= 0])  # sorted unique ids
-        matcher.replace_duplication(
-            current_keyframe, [MpId(int(v)) for v in adjacent_vals], margin,
-            map_db, settings)
+    # re-derive the reverse-pass candidates AFTER the merge loop (a merge can
+    # write a current-keyframe id into an adjacent slot); every such id is
+    # still inside the primed union
+    allv = np.concatenate([map_db.keyframes[k].map_points
+                           for k in adjacent_kf_ids])
+    adjacent_vals = np.unique(allv[allv >= 0])
+    matcher.replace_duplication(
+        current_keyframe, [MpId(int(v)) for v in adjacent_vals], margin,
+        map_db, settings, cache=cache)
 
 
 @timed
 def cull_map_points(current_keyframe: Keyframe, map_db: MapDB,
                     parameters) -> None:
-    """reference: mapper_helpers.cpp:349-373"""
-    for mp_id in list(map_db.map_points):
-        mp = map_db.map_points.get(mp_id)
-        if mp is None:
-            continue
-        if not mp.observations:
-            map_db.remove_map_point(mp)
-            continue
-        obs_age = current_keyframe.t - map_db.keyframes[mp.get_first_observation()].t
-        if (current_keyframe.id not in mp.observations
-                and obs_age > parameters.minMapPointCullingAge
-                and mp.status != MapPointStatus.TRIANGULATED):
-            map_db.remove_map_point(mp)
+    """reference: mapper_helpers.cpp:349-373
+
+    Vectorized over the columnar store: the whole-map scan reduces to column
+    compares (observation count, first-observation age, status, membership in
+    the current keyframe — the audited bidirectional-link invariant), and
+    only actual removals touch Python objects. Removing a map point never
+    changes another's gate columns, so the batch decision equals the
+    reference's sequential scan."""
+    store = map_db.mp_store
+    ids = np.flatnonzero(store.id2row >= 0)
+    if len(ids) == 0:
+        return
+    rows = store.id2row[ids]
+    n_obs = store.n_obs[rows]
+    status = store.status[rows]
+    first_kf = store.first_kf[rows]
+    cur_vals = current_keyframe.map_points
+    observed = np.isin(ids, cur_vals[cur_vals >= 0])
+    cand = (~observed) & (status != int(MapPointStatus.TRIANGULATED)) & (n_obs > 0)
+    if cand.any():
+        first_t = np.zeros(len(ids))
+        for kf_val in np.unique(first_kf[cand]).tolist():
+            t = map_db.keyframes[KfId(kf_val)].t
+            first_t[first_kf == kf_val] = t
+        cand &= (current_keyframe.t - first_t) > parameters.minMapPointCullingAge
+    remove = cand | (n_obs == 0)
+    for v in ids[remove].tolist():
+        map_db.remove_map_point(map_db.map_points[MpId(v)])
 
 
 def remove_keyframe(kf_id: KfId, map_db: MapDB, bow_index=None) -> None:
@@ -385,15 +462,13 @@ def cull_keyframes(adjacent_kf_ids: List[KfId], map_db: MapDB, bow_index,
             continue
         if any(kf_id in (e.kf_id1, e.kf_id2) for e in map_db.loop_closure_edges):
             continue
-        n_map_points = 0
-        n_critical = 0
-        for mp_val in kf.map_points:
-            if mp_val < 0:
-                continue
-            n_map_points += 1
-            if (len(map_db.map_points[MpId(int(mp_val))].observations)
-                    <= parameters.minObservationsForBA):
-                n_critical += 1
+        # observation counts from the columnar store (recomputed per
+        # candidate: an earlier removal in this loop changes them)
+        vals = kf.map_points[kf.map_points >= 0]
+        rows, _ = map_db.mp_store.rows_of(vals)
+        n_map_points = len(vals)
+        n_critical = int(np.sum(map_db.mp_store.n_obs[rows]
+                                <= parameters.minObservationsForBA))
         if n_critical < n_map_points * parameters.keyframeCullMaxCriticalRatio:
             remove_keyframe(kf.id, map_db, bow_index)
 
@@ -775,15 +850,16 @@ def triangulate_map_point_first_last_obs(map_db: MapDB, map_point: MapPoint,
 
 def set_point_cloud_output(map_db: MapDB, kf: Keyframe) -> List[dict]:
     """reference: mapper_helpers.cpp:484-497"""
-    out = []
-    for mp_val in kf.map_points:
-        if mp_val < 0:
-            continue
-        mp = map_db.map_points[MpId(int(mp_val))]
-        if mp.status == MapPointStatus.TRIANGULATED:
-            out.append({"id": int(mp.id), "trackId": int(mp.track_id),
-                        "position": mp.position.copy()})
-    return out
+    store = map_db.mp_store
+    vals = kf.map_points[kf.map_points >= 0]
+    rows, live = store.rows_of(vals)
+    keep = live & (store.status[rows] == int(MapPointStatus.TRIANGULATED))
+    rows = rows[keep]
+    positions = store.position[rows]
+    return [{"id": int(v), "trackId": int(store.objs[r].track_id),
+             "position": positions[i].copy()}
+            for i, (v, r) in enumerate(zip(vals[keep].tolist(),
+                                           rows.tolist()))]
 
 
 def update_point_cloud_recording(t: float,
@@ -990,14 +1066,14 @@ def _post_ba_tail(map_db: MapDB, current_keyframe: Keyframe,
     ps = settings.parameters.slam
     if did_ba:
         # retriangulate current-KF points not locked in by BA
-        # (mapper_helpers.cpp:1084-1092)
-        retri = []
-        for mp_val in current_keyframe.map_points:
-            if mp_val < 0:
-                continue
-            mp = map_db.map_points[MpId(int(mp_val))]
-            if mp.status != MapPointStatus.TRIANGULATED or len(mp.observations) >= 2:
-                retri.append(mp)
+        # (mapper_helpers.cpp:1084-1092), candidates via the columnar store
+        store = map_db.mp_store
+        vals = current_keyframe.map_points[current_keyframe.map_points >= 0]
+        rows, live = store.rows_of(vals)
+        keep = live & ((store.status[rows]
+                        != int(MapPointStatus.TRIANGULATED))
+                       | (store.n_obs[rows] >= 2))
+        retri = [store.objs[r] for r in rows[keep].tolist()]
         triangulate_map_points(map_db, retri, settings)
 
     cull_map_points(current_keyframe, map_db, ps)

@@ -139,9 +139,9 @@ def search_by_projection(kf: Keyframe, mp_ids: List[MpId], map_db: MapDB,
     keypoints (reference: keyframe_matcher.cpp:295-414).
 
     ``precomp``, when given, is (mps, pix, visible, d_all, cos_all,
-    min_d_all, max_d_all) for exactly ``mp_ids`` — the same columns this
-    function would derive itself (identical formulas/dtypes), handed over by
-    a caller that already computed them for its own gating.
+    min_d_all, max_d_all, descs) for exactly ``mp_ids`` — the same columns
+    this function would derive itself (identical formulas/dtypes), handed
+    over by a caller that already computed them for its own gating.
 
     ``data_publisher`` with ``visualizeMapPointSearch`` enabled receives the
     search debug view (reference: keyframe_matcher.cpp:305-310, 403-411):
@@ -171,9 +171,10 @@ def search_by_projection(kf: Keyframe, mp_ids: List[MpId], map_db: MapDB,
                    / np.maximum(d_all, 1e-12))
         max_d_all = np.array([mp.max_viewing_distance for mp in mps])
         min_d_all = np.array([mp.min_viewing_distance for mp in mps])
+        mp_descs = np.stack([mp.descriptor for mp in mps])
     else:
-        mps, pix, visible, d_all, cos_all, min_d_all, max_d_all = precomp
-    mp_descs = np.stack([mp.descriptor for mp in mps])
+        (mps, pix, visible, d_all, cos_all, min_d_all, max_d_all,
+         mp_descs) = precomp
     pred_all = MapPoint.predict_scale_levels(
         np.maximum(max_d_all, 1e-12), np.maximum(d_all, 1e-12), settings)
 
@@ -271,16 +272,62 @@ class _MpColumnCache:
 
     Positions/norms/descriptors/viewing distances of surviving points never
     change during a pass (merges only rewire observation links), so the
-    stacked arrays are rebuilt only when the candidate id list itself changes
-    (a merge rewrote a keyframe slot). Liveness and observation-link gating
-    are still re-derived on every call."""
+    Python attribute-walk that builds the stacked arrays runs at most ONCE
+    per pass: ``prime`` builds the columns over the UNION of every
+    candidate id the pass can see (current + adjacent keyframes; merges only
+    rewrite slots to ids within that union), and each ``lookup`` reduces to
+    vectorized gathers from the primed arrays. Liveness and observation-link
+    gating are still re-derived on every call (the merge loop's per-row
+    rechecks, see ``replace_duplication``)."""
 
     def __init__(self, map_db: MapDB):
         self.map_db = map_db
         self.key = None
         self.mps = None
+        self._primed_vals = None
+
+    def prime(self, union_vals: np.ndarray) -> None:
+        """Build the columns once for a sorted unique id array — pure
+        vectorized gathers from the MapDB columnar store."""
+        union_vals = np.asarray(union_vals, np.int64)
+        store = self.map_db.mp_store
+        rows, live = store.rows_of(union_vals)
+        self._primed_vals = union_vals
+        self._p_mps = [store.objs[r] if ok else None
+                       for r, ok in zip(rows.tolist(), live.tolist())]
+        self._p_positions = store.position[rows]
+        self._p_norms = store.norm[rows]
+        self._p_descs = store.descriptor[rows]
+        self._p_max_d = store.max_viewing_distance[rows]
+        self._p_min_d = store.min_viewing_distance[rows]
+        st = store.status[rows]
+        self._p_status_ok = (live
+                             & (st != int(MapPointStatus.BAD))
+                             & (st != int(MapPointStatus.NOT_TRIANGULATED)))
+
+    def _lookup_primed(self, vals: np.ndarray) -> "_MpColumnCache":
+        uv = self._primed_vals
+        idx = np.searchsorted(uv, vals)
+        idx_c = np.minimum(idx, len(uv) - 1)
+        hit = (uv[idx_c] == vals) if len(uv) else np.zeros(len(vals), bool)
+        rows = np.where(hit, idx_c, 0)
+        self.vals = np.where(hit, vals, -1)
+        self.mps = [self._p_mps[r] if h else None
+                    for r, h in zip(rows.tolist(), hit.tolist())]
+        self.positions = self._p_positions[rows]
+        self.norms = self._p_norms[rows]
+        self.descs = self._p_descs[rows]
+        self.max_d = self._p_max_d[rows]
+        self.min_d = self._p_min_d[rows]
+        self.status_ok = self._p_status_ok[rows] & hit
+        return self
 
     def lookup(self, mp_ids: List[MpId], key=None):
+        if self._primed_vals is not None:
+            n = len(mp_ids)
+            vals = (mp_ids if isinstance(mp_ids, np.ndarray)
+                    else np.fromiter((int(m) for m in mp_ids), np.int64, n))
+            return self._lookup_primed(vals.astype(np.int64, copy=False))
         if key is None:
             key = tuple(int(m) for m in mp_ids)
         if key != self.key:
@@ -461,28 +508,25 @@ def find_matches_transformed_mps(mp_ids_a: np.ndarray,
     n = len(mp_ids_a)
     matches = np.full(n, -1, np.int64)
 
-    cand_i, cand_mp = [], []
-    for i in range(n):
-        if already_matched_in_a[i]:
-            continue
-        mp_id = int(mp_ids_a[i])
-        if mp_id < 0:
-            continue
-        mp = map_db.map_points.get(MpId(mp_id))
-        if mp is None or mp.status != MapPointStatus.TRIANGULATED:
-            continue
-        cand_i.append(i)
-        cand_mp.append(mp)
-    if not cand_i:
+    # candidate gates via the columnar store (one gather per column)
+    store = map_db.mp_store
+    vals = np.asarray(mp_ids_a, np.int64)
+    rows, live = store.rows_of(vals)
+    keep = (~np.asarray(already_matched_in_a, bool) & live
+            & (store.status[rows] == int(MapPointStatus.TRIANGULATED)))
+    cand_rows = rows[keep]
+    if not keep.any():
         return matches
+    cand_i = np.flatnonzero(keep)
+    cand_mp = [store.objs[r] for r in cand_rows.tolist()]
 
-    pos_w = np.stack([mp.position for mp in cand_mp])
+    pos_w = store.position[cand_rows]
     pos_b = pos_w @ rot_baw.T + trans_baw
     pix, ok = kf_b.shared.camera.ray_to_pixel(pos_b)
     ok = ok & kf_b.shared.camera.is_valid_pixel(pix)
     vdist = np.linalg.norm(pos_b, axis=1)
-    min_d = np.array([mp.min_viewing_distance for mp in cand_mp])
-    max_d = np.array([mp.max_viewing_distance for mp in cand_mp])
+    min_d = store.min_viewing_distance[cand_rows]
+    max_d = store.max_viewing_distance[cand_rows]
     ok &= (vdist >= min_d) & (vdist <= max_d)
     if not ok.any():
         return matches
@@ -499,7 +543,7 @@ def find_matches_transformed_mps(mp_ids_a: np.ndarray,
             fs._xs, fs._ys, fs._order.astype(np.int64),
             kf_b.shared.descriptors, kf_b.shared.octave,
             pix[sel, 0], pix[sel, 1], radii,
-            np.stack([cand_mp[k].descriptor for k in sel]),
+            store.descriptor[cand_rows[sel]],
             qlvl_min=pred - 1, qlvl_max=pred)
     if pre is not None:
         best_j, best_d = pre
