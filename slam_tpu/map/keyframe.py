@@ -88,10 +88,22 @@ class KeyframeShared:
         # debug frame retained ONLY when a publisher asks for the map-point-
         # search view (reference: kf.shared->imgDbg, populated mapper.cpp:370)
         self.img_dbg: Optional[np.ndarray] = None
+        self._npix: Optional[np.ndarray] = None
+        self._nok: Optional[np.ndarray] = None
 
     @property
     def num_keypoints(self) -> int:
         return len(self.pts)
+
+    def normalized_pixels(self):
+        """Cached ``camera.normalize_pixel`` over all keypoints (valid once
+        features are populated; keypoints are immutable afterwards).
+        Returns (npix (n,2) float64, ok (n,) uint8)."""
+        if self._npix is None or len(self._npix) != len(self.pts):
+            npix, nok = self.camera.normalize_pixel(self.pts)
+            self._npix = np.ascontiguousarray(npix, np.float64)
+            self._nok = np.ascontiguousarray(nok, np.uint8)
+        return self._npix, self._nok
 
     def clone(self) -> "KeyframeShared":
         """Fresh copy for the other pipeline half; must be called before

@@ -68,6 +68,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     "radius_search", "radius_hamming_best",
                     "match_triangulation", "match_loop_closure",
                     "match_tracker", "project_greedy_claim",
+                    "triangulate_pairs",
                     "create_random_array", "seed_random")
         if any(not hasattr(lib, s) for s in required):
             return None  # stale binary from before a newer op was added
@@ -114,6 +115,12 @@ def get_lib() -> Optional[ctypes.CDLL]:
         lib.match_tracker.argtypes = [
             u32p, f32p, ctypes.c_int64, u32p, f32p, ctypes.c_int64,
             ctypes.c_double, ctypes.c_int32, ctypes.c_double, i64p]
+        lib.triangulate_pairs.argtypes = [
+            i64p, i64p, ctypes.c_int64,
+            f64p, f64p, f32p, f64p, u8p, f32p, i32p, f64p,   # current frame
+            f64p, f64p, f32p, f64p, u8p, f32p, i32p, f64p,   # adjacent frame
+            ctypes.c_double, f64p, ctypes.c_double, ctypes.c_double,
+            f64p, u8p]
         _lib = lib
         return _lib
 
@@ -351,6 +358,62 @@ def match_tracker(desc_cur, pts_cur, desc_prev, pts_prev,
                       desc_prev, pts_prev, len(desc_prev),
                       float(max_motion), np.int32(thr), float(lowe), out)
     return out
+
+
+def pack_camera(camera) -> np.ndarray:
+    """Pack a geometry/camera.py model into the 12-double layout the native
+    ``triangulate_pairs`` reprojection gate consumes. None for unsupported
+    camera classes (callers fall back to the NumPy path)."""
+    from slam_tpu.geometry.camera import KannalaBrandtCamera, PinholeCamera
+    if isinstance(camera, PinholeCamera):
+        kind, d = 0.0, (camera.k1, camera.k2, camera.p1, camera.p2)
+    elif isinstance(camera, KannalaBrandtCamera):
+        kind, d = 1.0, (camera.k1, camera.k2, camera.k3, camera.k4)
+    else:
+        return None
+    return np.asarray([kind, camera.fx, camera.fy, camera.cx, camera.cy,
+                       *d, camera.width, camera.height,
+                       float(camera.get_focal_length())], np.float64)
+
+
+def triangulate_pairs(kp_cur, kp_adj, cur_frame, adj_frame,
+                      cos_min: float, sigma2_rel, rel_thr: float,
+                      chi2: float):
+    """Fused two-view triangulation + acceptance gates for matched fresh
+    pairs (NumPy twin: pipeline/mapper_helpers._batch_triangulate_pairs).
+
+    ``cur_frame``/``adj_frame``: (pose_cw 3x4 f64, bearings (n,3) f64,
+    depth (n,) f32, npix (n,2) f64, nok (n,) u8, pts (n,2) f32,
+    octave (n,) i32, cam_pack (12,) f64) per keyframe.
+    Returns (positions (B,3) f64, ok (B,) bool), or None when the native
+    library or the camera model is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    for frame in (cur_frame, adj_frame):
+        if frame[-1] is None:
+            return None
+    kp_cur = np.ascontiguousarray(kp_cur, np.int64)
+    kp_adj = np.ascontiguousarray(kp_adj, np.int64)
+    B = len(kp_cur)
+    pos = np.empty((B, 3), np.float64)
+    ok = np.empty(B, np.uint8)
+    args = []
+    for frame in (cur_frame, adj_frame):
+        pose, bear, depth, npix, nok, pts, octv, cam = frame
+        args += [np.ascontiguousarray(pose, np.float64),
+                 np.ascontiguousarray(bear, np.float64),
+                 np.ascontiguousarray(depth, np.float32),
+                 np.ascontiguousarray(npix, np.float64),
+                 np.ascontiguousarray(nok, np.uint8),
+                 np.ascontiguousarray(pts, np.float32),
+                 np.ascontiguousarray(octv, np.int32),
+                 np.ascontiguousarray(cam, np.float64)]
+    lib.triangulate_pairs(kp_cur, kp_adj, B, *args,
+                          float(cos_min),
+                          np.ascontiguousarray(sigma2_rel, np.float64),
+                          float(rel_thr), float(chi2), pos, ok)
+    return pos, ok.astype(bool)
 
 
 def create_random_array(n: int, lo: int, hi: int,

@@ -432,6 +432,249 @@ void match_tracker(
 }
 
 // ---------------------------------------------------------------------------
+// Fused two-view triangulation for fresh map points
+// (reference: mapper_helpers.cpp:600-722 in the 2-observation form used by
+// createNewMapPoints, :271-318). Native twin of
+// pipeline/mapper_helpers._batch_triangulate_pairs: depth seeding from the
+// first positive-depth observation in KfId order (adjacent first), the
+// two-ray angle gate, two-view DLT via the smallest right-singular vector,
+// and positive-depth + octave-scaled chi2 reprojection gates on BOTH frames.
+// All math in double precision with the same operation order as the NumPy
+// twin (-ffp-contract=off build) so gate decisions agree.
+// ---------------------------------------------------------------------------
+
+namespace {
+
+// Packed camera parameters: [kind, fx, fy, cx, cy, d0, d1, d2, d3,
+//                            width, height, focal]
+// kind 0 = pinhole (+ optional radtan k1,k2,p1,p2), 1 = Kannala-Brandt
+// (k1..k4). `focal` is the integer image-scale proxy
+// (geometry/camera.py get_focal_length).
+struct CamPack {
+    int kind;
+    double fx, fy, cx, cy;
+    double d[4];
+    double width, height, focal;
+};
+
+static CamPack unpack_camera(const double* p) {
+    CamPack c;
+    c.kind = (int)p[0];
+    c.fx = p[1]; c.fy = p[2]; c.cx = p[3]; c.cy = p[4];
+    c.d[0] = p[5]; c.d[1] = p[6]; c.d[2] = p[7]; c.d[3] = p[8];
+    c.width = p[9]; c.height = p[10]; c.focal = p[11];
+    return c;
+}
+
+// geometry/camera.py ray_to_pixel (PinholeCamera:109-118 /
+// KannalaBrandtCamera:165-175), identical formulas and operation order.
+static bool ray_to_pixel(const CamPack& c, const double* ray,
+                         double* u, double* v) {
+    if (c.kind == 0) {
+        const double z = ray[2];
+        const bool valid = z > 1e-9;
+        const double zsafe = valid ? z : 1.0;
+        const double xn = ray[0] / zsafe;
+        const double yn = ray[1] / zsafe;
+        double xd = xn, yd = yn;
+        if (c.d[0] != 0.0 || c.d[1] != 0.0 || c.d[2] != 0.0 || c.d[3] != 0.0) {
+            const double k1 = c.d[0], k2 = c.d[1], p1 = c.d[2], p2 = c.d[3];
+            const double r2 = xn * xn + yn * yn;
+            const double radial = 1.0 + k1 * r2 + k2 * r2 * r2;
+            xd = xn * radial + 2.0 * p1 * xn * yn + p2 * (r2 + 2.0 * xn * xn);
+            yd = yn * radial + p1 * (r2 + 2.0 * yn * yn) + 2.0 * p2 * xn * yn;
+        }
+        *u = c.fx * xd + c.cx;
+        *v = c.fy * yd + c.cy;
+        return valid;
+    }
+    // Kannala-Brandt equidistant fisheye
+    const double x = ray[0], y = ray[1], z = ray[2];
+    const double r = std::hypot(x, y);
+    const double theta = std::atan2(r, z);
+    const bool valid = theta < 1.7453292519943295;  // radians(100.0)
+    const double t2 = theta * theta;
+    const double theta_d = theta * (1.0 + t2 * (c.d[0] + t2 * (c.d[1] +
+                                    t2 * (c.d[2] + t2 * c.d[3]))));
+    const double scale =
+        r > 1e-12 ? theta_d / (r > 1e-12 ? r : 1e-12) : 1.0;
+    *u = c.fx * x * scale + c.cx;
+    *v = c.fy * y * scale + c.cy;
+    return valid;
+}
+
+static inline bool pixel_in_image(const CamPack& c, double u, double v) {
+    return u >= 0.0 && v >= 0.0 && u < c.width && v < c.height;
+}
+
+// Eigenvector of the smallest eigenvalue of the symmetric 4x4 matrix S
+// (= smallest right-singular vector of A when S = A^T A), via cyclic Jacobi.
+static void min_eigvec4(double S[4][4], double* out) {
+    double V[4][4] = {{1, 0, 0, 0}, {0, 1, 0, 0}, {0, 0, 1, 0}, {0, 0, 0, 1}};
+    for (int sweep = 0; sweep < 32; ++sweep) {
+        double off = 0.0;
+        for (int p = 0; p < 4; ++p)
+            for (int q = p + 1; q < 4; ++q) off += S[p][q] * S[p][q];
+        if (off < 1e-26) break;
+        for (int p = 0; p < 4; ++p) {
+            for (int q = p + 1; q < 4; ++q) {
+                const double apq = S[p][q];
+                if (std::abs(apq) < 1e-300) continue;
+                const double tau = (S[q][q] - S[p][p]) / (2.0 * apq);
+                const double t = (tau >= 0 ? 1.0 : -1.0) /
+                                 (std::abs(tau) + std::sqrt(1.0 + tau * tau));
+                const double cth = 1.0 / std::sqrt(1.0 + t * t);
+                const double sth = t * cth;
+                for (int k = 0; k < 4; ++k) {
+                    const double skp = S[k][p], skq = S[k][q];
+                    S[k][p] = cth * skp - sth * skq;
+                    S[k][q] = sth * skp + cth * skq;
+                }
+                for (int k = 0; k < 4; ++k) {
+                    const double spk = S[p][k], sqk = S[q][k];
+                    S[p][k] = cth * spk - sth * sqk;
+                    S[q][k] = sth * spk + cth * sqk;
+                    const double vkp = V[k][p], vkq = V[k][q];
+                    V[k][p] = cth * vkp - sth * vkq;
+                    V[k][q] = sth * vkp + cth * vkq;
+                }
+            }
+        }
+    }
+    int best = 0;
+    for (int i = 1; i < 4; ++i)
+        if (S[i][i] < S[best][best]) best = i;
+    for (int k = 0; k < 4; ++k) out[k] = V[k][best];
+}
+
+// One keyframe side of the triangulation problem.
+struct TriFrame {
+    const double* pose;    // 3x4 row-major poseCW
+    const double* bear;    // n x 3 camera-frame bearings
+    const float* depth;    // n
+    const double* npix;    // n x 2 normalized pixels
+    const uint8_t* nok;    // n normalized-pixel validity
+    const float* pts;      // n x 2
+    const int32_t* oct;    // n
+    CamPack cam;
+    double Rwc[3][3];      // camera-to-world rotation = poseCW[:3,:3]^T
+    double center[3];      // camera center -R^T t
+
+    void init() {
+        for (int i = 0; i < 3; ++i)
+            for (int j = 0; j < 3; ++j) Rwc[i][j] = pose[4 * j + i];
+        for (int i = 0; i < 3; ++i) {
+            center[i] = -(Rwc[i][0] * pose[3] + Rwc[i][1] * pose[7] +
+                          Rwc[i][2] * pose[11]);
+        }
+    }
+    void world_ray(int64_t kp, double* out) const {
+        const double* b = bear + 3 * kp;
+        for (int i = 0; i < 3; ++i)
+            out[i] = Rwc[i][0] * b[0] + Rwc[i][1] * b[1] + Rwc[i][2] * b[2];
+    }
+    // positive-depth + in-image + octave-scaled chi2 gate for world point X
+    // (same formulas as the NumPy twin's per-frame gate block)
+    bool gates_ok(const double* X, int64_t kp, const double* sigma2_rel,
+                  double rel_thr, double chi2) const {
+        const double z = pose[8] * X[0] + pose[9] * X[1] + pose[10] * X[2] +
+                         pose[11];
+        if (!(z > 0.0)) return false;
+        double pc[3];
+        for (int i = 0; i < 3; ++i)
+            pc[i] = pose[4 * i] * X[0] + pose[4 * i + 1] * X[1] +
+                    pose[4 * i + 2] * X[2] + pose[4 * i + 3];
+        double u, vv;
+        if (!ray_to_pixel(cam, pc, &u, &vv)) return false;
+        if (!pixel_in_image(cam, u, vv)) return false;
+        const double rel = cam.focal * rel_thr;
+        const double sigma2 = sigma2_rel[oct[kp]] * rel * rel;
+        const double du = u - (double)pts[2 * kp];
+        const double dv = vv - (double)pts[2 * kp + 1];
+        const double err = du * du + dv * dv;
+        return err <= chi2 * sigma2;
+    }
+};
+
+}  // namespace
+
+// kp_cur/kp_adj: B matched keypoint index pairs (current, adjacent).
+// Outputs: pos_out (B x 3) world positions, ok_out (B) acceptance.
+void triangulate_pairs(
+    const int64_t* kp_cur, const int64_t* kp_adj, int64_t B,
+    const double* pose_c, const double* bear_c, const float* depth_c,
+    const double* npix_c, const uint8_t* nok_c, const float* pts_c,
+    const int32_t* oct_c, const double* cam_c,
+    const double* pose_a, const double* bear_a, const float* depth_a,
+    const double* npix_a, const uint8_t* nok_a, const float* pts_a,
+    const int32_t* oct_a, const double* cam_a,
+    double cos_min, const double* sigma2_rel,
+    double rel_thr, double chi2,
+    double* pos_out, uint8_t* ok_out) {
+    TriFrame cur{pose_c, bear_c, depth_c, npix_c, nok_c, pts_c, oct_c,
+                 unpack_camera(cam_c), {}, {}};
+    TriFrame adj{pose_a, bear_a, depth_a, npix_a, nok_a, pts_a, oct_a,
+                 unpack_camera(cam_a), {}, {}};
+    cur.init();
+    adj.init();
+
+    for (int64_t r = 0; r < B; ++r) {
+        const int64_t kc = kp_cur[r], ka = kp_adj[r];
+        double* X = pos_out + 3 * r;
+        X[0] = X[1] = X[2] = 0.0;
+        bool ok;
+        double ray_a[3], ray_c[3];
+        adj.world_ray(ka, ray_a);
+        cur.world_ray(kc, ray_c);
+        const double da = (double)depth_a[ka];
+        const double dc = (double)depth_c[kc];
+        if (da > 0.0) {
+            // depth seeding: first positive depth in observation (KfId) order
+            for (int i = 0; i < 3; ++i) X[i] = da * ray_a[i] + adj.center[i];
+            ok = true;
+        } else if (dc > 0.0) {
+            for (int i = 0; i < 3; ++i) X[i] = dc * ray_c[i] + cur.center[i];
+            ok = true;
+        } else {
+            // two-ray angle gate on unit world rays
+            const double na = std::max(std::sqrt(ray_a[0] * ray_a[0] +
+                ray_a[1] * ray_a[1] + ray_a[2] * ray_a[2]), 1e-12);
+            const double nc = std::max(std::sqrt(ray_c[0] * ray_c[0] +
+                ray_c[1] * ray_c[1] + ray_c[2] * ray_c[2]), 1e-12);
+            const double dot = (ray_a[0] / na) * (ray_c[0] / nc) +
+                               (ray_a[1] / na) * (ray_c[1] / nc) +
+                               (ray_a[2] / na) * (ray_c[2] / nc);
+            // DLT design rows: n.x * P[2] - P[0], n.y * P[2] - P[1] per frame
+            double A[4][4];
+            const double nax = npix_a[2 * ka], nay = npix_a[2 * ka + 1];
+            const double ncx = npix_c[2 * kc], ncy = npix_c[2 * kc + 1];
+            for (int j = 0; j < 4; ++j) {
+                A[0][j] = nax * pose_a[8 + j] - pose_a[j];
+                A[1][j] = nay * pose_a[8 + j] - pose_a[4 + j];
+                A[2][j] = ncx * pose_c[8 + j] - pose_c[j];
+                A[3][j] = ncy * pose_c[8 + j] - pose_c[4 + j];
+            }
+            double S[4][4];
+            for (int i = 0; i < 4; ++i)
+                for (int j = 0; j < 4; ++j) {
+                    double s = 0.0;
+                    for (int k = 0; k < 4; ++k) s += A[k][i] * A[k][j];
+                    S[i][j] = s;
+                }
+            double Xh[4];
+            min_eigvec4(S, Xh);
+            const bool nonzero = std::abs(Xh[3]) > 1e-12;
+            if (nonzero)
+                for (int i = 0; i < 3; ++i) X[i] = Xh[i] / Xh[3];
+            ok = (dot < cos_min) && nok_a[ka] && nok_c[kc] && nonzero;
+        }
+        ok = ok && adj.gates_ok(X, ka, sigma2_rel, rel_thr, chi2);
+        ok = ok && cur.gates_ok(X, kc, sigma2_rel, rel_thr, chi2);
+        ok_out[r] = ok ? 1 : 0;
+    }
+}
+
+// ---------------------------------------------------------------------------
 // Deterministic unique random index arrays (reference: random_array.cc:21-62)
 // Thread-local MT19937 with the reference's fixed seed.
 // ---------------------------------------------------------------------------

@@ -333,13 +333,14 @@ class _ProblemBuilder:
         # .get(): with deferred apply (pipelinedLocalBA) a keyframe in the
         # problem may have been removed (pose-trail drop / non-KF removal)
         # between dispatch and collect
-        poses = np.asarray(result.poses, np.float64)
+        poses = np.asarray(result.poses[:len(self.kf_ids)], np.float64)
+        poses = _orthonormalize_many(poses)
         for i, kf_id in enumerate(self.kf_ids):
             if only is not None and kf_id not in only:
                 continue
             kf = map_db.keyframes.get(kf_id)
             if kf is not None:
-                kf.pose_cw = _orthonormalize(poses[i])
+                kf.pose_cw = poses[i]
 
     def apply_points(self, result: ba.BAResult, map_db: MapDB) -> None:
         points = np.asarray(result.points, np.float64)
@@ -622,11 +623,21 @@ def global_bundle_adjust(current_kf_id: KfId, map_db: MapDB,
 
 def _orthonormalize(T: np.ndarray) -> np.ndarray:
     """Project the rotation back to SO(3) after float32 accumulation."""
-    U, _, Vt = np.linalg.svd(T[:3, :3])
+    return _orthonormalize_many(T[None])[0]
+
+
+def _orthonormalize_many(T: np.ndarray) -> np.ndarray:
+    """Batched ``_orthonormalize`` over (K, 4, 4) poses: one stacked SVD
+    replaces the per-pose LAPACK calls on the apply path."""
+    T = np.asarray(T, np.float64).reshape(-1, 4, 4)
+    U, _, Vt = np.linalg.svd(T[:, :3, :3])
     R = U @ Vt
-    if np.linalg.det(R) < 0:
-        R = U @ np.diag([1.0, 1.0, -1.0]) @ Vt
-    out = np.eye(4)
-    out[:3, :3] = R
-    out[:3, 3] = T[:3, 3]
+    flip = np.linalg.det(R) < 0
+    if flip.any():
+        Uf = U[flip].copy()
+        Uf[:, :, 2] *= -1.0
+        R[flip] = Uf @ Vt[flip]
+    out = np.tile(np.eye(4), (len(T), 1, 1))
+    out[:, :3, :3] = R
+    out[:, :3, 3] = T[:, :3, 3]
     return out

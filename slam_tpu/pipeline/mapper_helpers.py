@@ -287,6 +287,14 @@ def _batch_triangulate_pairs(cur_kf: Keyframe, pair_list,
     return positions, ok
 
 
+def _tri_frame(kf: Keyframe, cam_pack):
+    """One keyframe's array block for ``native.triangulate_pairs``."""
+    npix, nok = kf.shared.normalized_pixels()
+    return (np.ascontiguousarray(kf.pose_cw[:3], np.float64),
+            kf.shared.bearings, kf.keypoint_depth, npix, nok,
+            kf.shared.pts, kf.shared.octave, cam_pack)
+
+
 @timed
 def create_new_map_points(current_keyframe: Keyframe,
                           adjacent_kf_ids: List[KfId], map_db: MapDB,
@@ -297,8 +305,19 @@ def create_new_map_points(current_keyframe: Keyframe,
     triangulated OK claims its current-keyframe keypoint, which must be
     excluded (``free1``) from the NEXT adjacent keyframe's matcher call, so
     the loop stays sequential; within one pair every triangulation solve and
-    gate is one vectorized pass."""
+    gate runs in ONE fused native pass (NumPy twin:
+    ``_batch_triangulate_pairs``, kept in lockstep by the cross-check test in
+    tests/test_native_and_misc.py)."""
+    from slam_tpu import native
+
     cur_full = current_keyframe.has_full_features
+    parameters = settings.parameters.slam
+    cos_min = np.cos(np.radians(parameters.minTriangulationAngleTwoObs))
+    ref_scale = len(settings.scaleFactors) // 2
+    sigma2_rel = (np.asarray(settings.levelSigmaSq, np.float64)
+                  / settings.levelSigmaSq[ref_scale])
+    cam_pack_cur = native.pack_camera(current_keyframe.shared.camera)
+    cur_frame = None
     for kf_id in adjacent_kf_ids:
         if kf_id == current_keyframe.id:
             continue
@@ -307,8 +326,19 @@ def create_new_map_points(current_keyframe: Keyframe,
                                                  settings)
         if len(matches) == 0:
             continue
-        positions, ok = _batch_triangulate_pairs(
-            current_keyframe, [(keyframe, matches)], settings)
+        assert keyframe.id < current_keyframe.id  # KfId depth-seeding order
+        if cur_frame is None:
+            cur_frame = _tri_frame(current_keyframe, cam_pack_cur)
+        res = native.triangulate_pairs(
+            matches[:, 0], matches[:, 1], cur_frame,
+            _tri_frame(keyframe, native.pack_camera(keyframe.shared.camera)),
+            cos_min, sigma2_rel,
+            parameters.relativeReprojectionErrorThreshold, CHI2_INV2D)
+        if res is not None:
+            positions, ok = res
+        else:
+            positions, ok = _batch_triangulate_pairs(
+                current_keyframe, [(keyframe, matches)], settings)
         # update_descriptor on a fresh 2-observation point always resolves to
         # the first full-featured observation's descriptor (obs sorted by
         # KfId: the adjacent keyframe is older); inline that medoid shortcut
@@ -474,10 +504,27 @@ def cull_keyframes(adjacent_kf_ids: List[KfId], map_db: MapDB, bow_index,
 
 
 def check_consistency(map_db: MapDB) -> None:
-    """Bidirectional link + chain audit (reference: mapper_helpers.cpp:499-549).
+    """Bidirectional link + chain audit (reference: mapper_helpers.cpp:499-549),
+    extended with the columnar-store coherence audit (map/mp_store.py: every
+    mirrored column must equal the object attribute it shadows).
 
     Raises AssertionError on violation; used by tests after every episode and
     by the mapper at end()."""
+    store = map_db.mp_store
+    for mp_id, mp in map_db.map_points.items():
+        row = mp._row
+        assert mp._store is store and row >= 0
+        assert store.id2row[int(mp_id)] == row
+        assert store.objs[row] is mp
+        assert store.status[row] == int(mp.status)
+        assert np.array_equal(store.position[row], mp.position)
+        assert np.array_equal(store.norm[row], mp.norm)
+        assert store.min_viewing_distance[row] == mp.min_viewing_distance
+        assert store.max_viewing_distance[row] == mp.max_viewing_distance
+        assert np.array_equal(store.descriptor[row], mp.descriptor)
+        assert store.n_obs[row] == len(mp.observations)
+        assert store.first_kf[row] == (int(min(mp.observations))
+                                       if mp.observations else -1)
     for kf_id, kf in map_db.keyframes.items():
         assert kf_id == kf.id
         for mp_val in kf.map_points:

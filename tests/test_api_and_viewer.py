@@ -95,6 +95,27 @@ class TestViewerPublisher:
         import json
         snap = json.load(open(path))
         assert len(snap["keyframes"]) == len(kfs)
+
+        # contract with the interactive HTML viewer (tools/slam_viewer.html,
+        # the Pangolin-viewer equivalent): every data field its renderer
+        # reads must exist in the exported snapshot
+        for key in ("mapPoints", "keyframes", "loopStages",
+                    "loopClosureEdges", "atlas"):
+            assert key in snap
+        kf0 = snap["keyframes"][0]
+        for key in ("id", "poseWC", "origPoseWC", "neighbors", "current",
+                    "localMap", "stereoPointCloud"):
+            assert key in kf0
+        mp0 = snap["mapPoints"][0]
+        for key in ("position", "status", "localMap", "nowVisible", "color"):
+            assert key in mp0
+        import os
+        html = open(os.path.join(os.path.dirname(__file__), "..", "tools",
+                                 "slam_viewer.html")).read()
+        for field in ("mapPoints", "keyframes", "loopStages",
+                      "loopClosureEdges", "atlas", "poseWC", "origPoseWC",
+                      "neighbors", "stereoPointCloud", "nowVisible"):
+            assert field in html
         slam.end().result(timeout=60)
 
     def test_atlas_overlay_render(self, tmp_path):

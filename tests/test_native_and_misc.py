@@ -526,3 +526,108 @@ class TestProjectGreedyClaim:
                             lambda *a, **k: None)
         m_python = build_map()
         assert snapshot(m_native) == snapshot(m_python)
+
+
+class TestTriangulatePairs:
+    """Native fused two-view triangulation vs its NumPy twin
+    (`_batch_triangulate_pairs`)."""
+
+    def _make_kf(self, cam, pose_cw, pts, depths, octaves):
+        from slam_tpu.ids import KfId
+        from slam_tpu.map.keyframe import Keyframe
+        kf = Keyframe()
+        kf.shared.camera = cam
+        kf.shared.pts = np.asarray(pts, np.float32)
+        kf.shared.octave = np.asarray(octaves, np.int32)
+        rays, _ = cam.pixel_to_ray(kf.shared.pts)
+        kf.shared.bearings = rays
+        kf.keypoint_depth = np.asarray(depths, np.float32)
+        kf.map_points = np.full(len(pts), -1, np.int64)
+        kf.pose_cw = np.asarray(pose_cw, np.float64)
+        return kf
+
+    def _scene(self, cam, seed, n=120, seeded_frac=0.2):
+        from slam_tpu.geometry import se3
+        r = np.random.default_rng(seed)
+        X = r.uniform([-2.5, -2.0, 3.0], [2.5, 2.0, 9.0], (n, 3))
+        pose_cur = np.eye(4)
+        pose_adj = np.eye(4)
+        th = 0.12
+        pose_adj[:3, :3] = np.array([[np.cos(th), 0, np.sin(th)],
+                                     [0, 1, 0],
+                                     [-np.sin(th), 0, np.cos(th)]])
+        pose_adj[:3, 3] = [0.6, 0.05, 0.1]
+
+        def project(pose):
+            pc = X @ pose[:3, :3].T + pose[:3, 3]
+            pix, ok = cam.ray_to_pixel(pc)
+            ok &= cam.is_valid_pixel(pix)
+            return pix, pc[:, 2], ok
+
+        pix_c, z_c, ok_c = project(pose_cur)
+        pix_a, z_a, ok_a = project(pose_adj)
+        keep = ok_c & ok_a
+        pix_c, pix_a = pix_c[keep], pix_a[keep]
+        z_a = z_a[keep]
+        m = keep.sum()
+        # pixel noise: most inliers, a few gross outliers to exercise the
+        # reprojection gates; a slice of depth-seeded rows
+        pix_c = pix_c + r.normal(0, 0.3, (m, 2))
+        pix_a = pix_a + r.normal(0, 0.3, (m, 2))
+        out = r.random(m) < 0.15
+        pix_c[out] += r.uniform(15, 40, (out.sum(), 2))
+        d_a = np.full(m, -1.0)
+        sel = r.random(m) < seeded_frac
+        d_a[sel] = z_a[sel] * r.uniform(0.97, 1.03, sel.sum())
+        octv = r.integers(0, 8, m)
+        kf_adj = self._make_kf(cam, pose_adj, np.clip(pix_a, 0, None),
+                               d_a, octv)
+        kf_cur = self._make_kf(cam, pose_cur, np.clip(pix_c, 0, None),
+                               np.full(m, -1.0), r.integers(0, 8, m))
+        return kf_cur, kf_adj, m
+
+    @pytest.mark.parametrize("camkind", ["pinhole", "radtan", "kb"])
+    def test_matches_numpy_twin(self, camkind):
+        from slam_tpu.geometry.camera import (KannalaBrandtCamera,
+                                              PinholeCamera)
+        from slam_tpu.ids import KfId
+        from slam_tpu.params import StaticSettings
+        from slam_tpu.pipeline import mapper_helpers as mh
+
+        if camkind == "pinhole":
+            cam = PinholeCamera(fx=400.0, fy=405.0, cx=320.0, cy=240.0,
+                                width=640, height=480)
+        elif camkind == "radtan":
+            cam = PinholeCamera(fx=458.6, fy=457.3, cx=367.2, cy=248.4,
+                                width=752, height=480, k1=-0.28, k2=0.07,
+                                p1=2e-4, p2=1.8e-5)
+        else:
+            cam = KannalaBrandtCamera(fx=380.0, fy=379.0, cx=376.0, cy=240.0,
+                                      width=752, height=480, k1=-0.01,
+                                      k2=0.02, k3=-0.005, k4=0.001)
+        settings = StaticSettings()
+        kf_cur, kf_adj, m = self._scene(cam, seed=42)
+        kf_adj.id, kf_cur.id = KfId(1), KfId(2)
+        matches = np.stack([np.arange(m), np.arange(m)], axis=1)
+
+        pos_np, ok_np = mh._batch_triangulate_pairs(
+            kf_cur, [(kf_adj, matches)], settings)
+
+        assert native.available()
+        p = settings.parameters.slam
+        ref_scale = len(settings.scaleFactors) // 2
+        sigma2_rel = (np.asarray(settings.levelSigmaSq, np.float64)
+                      / settings.levelSigmaSq[ref_scale])
+        res = native.triangulate_pairs(
+            matches[:, 0], matches[:, 1],
+            mh._tri_frame(kf_cur, native.pack_camera(cam)),
+            mh._tri_frame(kf_adj, native.pack_camera(cam)),
+            np.cos(np.radians(p.minTriangulationAngleTwoObs)), sigma2_rel,
+            p.relativeReprojectionErrorThreshold, mh.CHI2_INV2D)
+        assert res is not None
+        pos_nat, ok_nat = res
+        assert ok_np.sum() > 10  # the scene must actually exercise accepts
+        assert (~ok_np).sum() > 3  # ... and rejects
+        assert np.array_equal(ok_nat, ok_np)
+        sel = ok_np
+        assert np.allclose(pos_nat[sel], pos_np[sel], rtol=0, atol=1e-8)
