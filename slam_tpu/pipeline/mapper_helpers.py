@@ -60,11 +60,13 @@ def make_keyframe_decision(current_keyframe: Keyframe,
     return prev_covis <= max_covis
 
 
-@timed
-def match_tracked_features(current_keyframe: Keyframe, map_db: MapDB,
-                           settings: StaticSettings) -> None:
+def _match_tracked_features_scalar(current_keyframe: Keyframe, map_db: MapDB,
+                                   settings: StaticSettings) -> None:
     """Associate LK tracks with map points; create/triangulate as needed
-    (reference: mapper_helpers.cpp:67-142)."""
+    (reference: mapper_helpers.cpp:67-142).
+
+    Scalar semantics reference for the batched ``match_tracked_features``;
+    the two are kept in lockstep (tests/test_pipeline_e2e.py)."""
     parameters = settings.parameters.slam
     for v in range(current_keyframe.shared.num_keypoints):
         kp_id = KpId(v)
@@ -101,6 +103,343 @@ def match_tracked_features(current_keyframe: Keyframe, map_db: MapDB,
             map_point.track_id = track_id
             map_point.color = current_keyframe.get_keypoint_color(kp_id)
             map_db.track_id_to_map_point[track_id] = map_point.id
+
+
+def _batch_update_descriptors(mps: List[MapPoint], map_db: MapDB) -> None:
+    """Medoid descriptors for many map points in one native CSR scan — the
+    batched twin of ``MapPoint.update_descriptor`` (map_point.cpp:75-116)."""
+    from slam_tpu import native
+    n = len(mps)
+    if n == 0:
+        return
+    kf_cache: Dict[KfId, Keyframe] = {}
+    chunks = []
+    dcount = np.zeros(n + 1, np.int64)
+    for i, mp in enumerate(mps):
+        for kf_id in sorted(mp.observations):
+            kf = kf_cache.get(kf_id)
+            if kf is None:
+                kf = kf_cache[kf_id] = map_db.keyframes[kf_id]
+            if kf.has_full_features:
+                chunks.append(kf.shared.descriptors[int(mp.observations[kf_id])])
+                dcount[i + 1] += 1
+    if not chunks:
+        return
+    dptr = np.cumsum(dcount)
+    flat = np.stack(chunks)
+    med = native.medoid_descriptor_many(flat, dptr)
+    for i, mp in enumerate(mps):
+        if med[i] >= 0:
+            mp.descriptor = flat[dptr[i] + med[i]].copy()
+
+
+def _batch_update_cones(mps: List[MapPoint], map_db: MapDB,
+                        settings: StaticSettings) -> None:
+    """Viewing normal + min/max distance for many map points in one
+    vectorized pass — the batched twin of
+    ``MapPoint.update_distance_and_norm`` (map_point.cpp:158-172)."""
+    n = len(mps)
+    if n == 0:
+        return
+    kf_row: Dict[KfId, int] = {}
+    centers_list: List[np.ndarray] = []
+    kfs_list: List[Keyframe] = []
+    seg, crow = [], []
+    positions = np.empty((n, 3))
+    first_crow = np.empty(n, np.int64)
+    first_oct = np.empty(n, np.int64)
+    for i, mp in enumerate(mps):
+        positions[i] = mp.position
+        obs_sorted = sorted(mp.observations)
+        for kf_id in obs_sorted:
+            r = kf_row.get(kf_id)
+            if r is None:
+                kf = map_db.keyframes[kf_id]
+                r = kf_row[kf_id] = len(centers_list)
+                centers_list.append(kf.camera_center())
+                kfs_list.append(kf)
+            seg.append(i)
+            crow.append(r)
+        r0 = kf_row[obs_sorted[0]]
+        first_crow[i] = r0
+        first_oct[i] = int(
+            kfs_list[r0].shared.octave[int(mp.observations[obs_sorted[0]])])
+    centers = np.asarray(centers_list)
+    seg_a = np.asarray(seg, np.int64)
+    crow_a = np.asarray(crow, np.int64)
+    v = centers[crow_a] - positions[seg_a]
+    vnorm = np.linalg.norm(v, axis=1)
+    vunit = np.zeros_like(v)
+    nz = vnorm > 0
+    vunit[nz] = v[nz] / vnorm[nz, None]
+    norm_sum = np.zeros((n, 3))
+    np.add.at(norm_sum, seg_a, vunit)
+    counts = np.bincount(seg_a, minlength=n)
+    norms = (norm_sum / counts[:, None]).astype(np.float32)
+    dist0 = np.linalg.norm(centers[first_crow] - positions, axis=1)
+    sf = np.asarray(settings.scaleFactors, np.float64)
+    max_d = dist0 * sf[first_oct]
+    min_d = max_d / float(sf[-1])
+    for i, mp in enumerate(mps):
+        mp.norm = norms[i]
+        mp.max_viewing_distance = float(max_d[i])
+        mp.min_viewing_distance = float(min_d[i])
+
+
+def _mtf_chi2_counts(positions: np.ndarray, mps: List[MapPoint],
+                     map_db: MapDB, settings: StaticSettings) -> np.ndarray:
+    """Octave-scaled chi2 reprojection votes over ALL observations of each
+    map point, grouped per keyframe — the batched twin of the
+    ``check_reprojection_error`` tally in
+    ``triangulate_map_point_first_last_obs`` (mapper_helpers.cpp:784-795).
+
+    positions: (n,3) candidate world positions. Returns n_ok (n,) int."""
+    rel_thr = settings.parameters.slam.relativeReprojectionErrorThreshold
+    ref_scale = len(settings.scaleFactors) // 2
+    sigma_sq = np.asarray(settings.levelSigmaSq, np.float64)
+    n = len(mps)
+    by_kf: Dict[KfId, Tuple[List[int], List[int]]] = {}
+    for i, mp in enumerate(mps):
+        for kf_id, kp_id in mp.observations.items():
+            slot = by_kf.get(kf_id)
+            if slot is None:
+                slot = by_kf[kf_id] = ([], [])
+            slot[0].append(i)
+            slot[1].append(int(kp_id))
+    n_ok = np.zeros(n, np.int64)
+    for kf_id, (seg, kps) in by_kf.items():
+        kf = map_db.keyframes[kf_id]
+        seg_a = np.asarray(seg, np.int64)
+        kps_a = np.asarray(kps, np.int64)
+        pix, ok = kf.reproject_many(positions[seg_a])
+        pts = kf.shared.pts[kps_a]
+        rel_base = get_focal_length(kf) * rel_thr
+        sigma2 = (sigma_sq[kf.shared.octave[kps_a]] / sigma_sq[ref_scale]
+                  * rel_base * rel_base)
+        err = np.sum((pix - pts) ** 2, axis=1)
+        np.add.at(n_ok, seg_a, (ok & (err <= CHI2_INV2D * sigma2)).astype(np.int64))
+    return n_ok
+
+
+def _mtf_pending(current_keyframe: Keyframe, mps: List[MapPoint],
+                 kps: np.ndarray, map_db: MapDB,
+                 settings: StaticSettings) -> List[MapPoint]:
+    """Batched ``triangulate_map_point_first_last_obs`` over the tracked
+    keypoints whose map point is not yet TRIANGULATED
+    (reference: mapper_helpers.cpp:724-812). Observations (incl. the current
+    keyframe) are already registered. Returns the chi2-passing points whose
+    descriptor the scalar path would refresh."""
+    parameters = settings.parameters.slam
+    n = len(mps)
+    for mp in mps:
+        mp.status = MapPointStatus.NOT_TRIANGULATED
+    kf_map = map_db.keyframes[current_keyframe.id]
+
+    # batch-eligible: >=2 observations and the current keyframe is the last
+    # (max-id) observation — always true on the pipeline path; anything else
+    # falls back to the scalar twin
+    batch = np.ones(n, bool)
+    fallback_passed: List[MapPoint] = []
+    for i, mp in enumerate(mps):
+        if len(mp.observations) < 2 or mp.get_last_observation() != kf_map.id:
+            batch[i] = False
+            if len(mp.observations) >= 2:
+                triangulate_map_point_first_last_obs(map_db, mp, settings)
+                if mp.status != MapPointStatus.NOT_TRIANGULATED:
+                    fallback_passed.append(mp)
+    idx = np.flatnonzero(batch)
+    if len(idx) == 0:
+        return fallback_passed
+    mps_b = [mps[i] for i in idx]
+    kps_b = np.asarray(kps, np.int64)[idx]
+    nb = len(idx)
+
+    depth = kf_map.keypoint_depth[kps_b].astype(np.float64)
+    seeded = depth > 0
+    positions = np.zeros((nb, 3))
+    have_pos = np.zeros(nb, bool)
+    R_wc = kf_map.camera_to_world_rotation()
+    c_cur = kf_map.camera_center()
+    if np.any(seeded):
+        s = np.flatnonzero(seeded)
+        positions[s] = (depth[s, None]
+                        * (kf_map.shared.bearings[kps_b[s]] @ R_wc.T) + c_cur)
+        have_pos[seeded] = True
+
+    todo = np.flatnonzero(~seeded)
+    if len(todo) and not parameters.computeDenseStereoDepth:
+        # two-view DLT against the FIRST observation, grouped by first kf
+        first_ids = np.asarray([int(mps_b[i].get_first_observation())
+                                for i in todo], np.int64)
+        first_kps = np.asarray(
+            [int(mps_b[i].observations[KfId(f)])
+             for i, f in zip(todo, first_ids)], np.int64)
+        rays2 = kf_map.shared.bearings[kps_b[todo]] @ R_wc.T
+        rays2 /= np.maximum(np.linalg.norm(rays2, axis=1, keepdims=True), 1e-12)
+        npix2_all, nok2_all = kf_map.shared.normalized_pixels()
+        npix2 = npix2_all[kps_b[todo]]
+        nok2 = nok2_all[kps_b[todo]].astype(bool)
+        P2 = kf_map.pose_cw[:3]
+        cos_min = np.cos(np.radians(parameters.minTriangulationAngleTwoObs))
+        for f in np.unique(first_ids):
+            g = todo[first_ids == f]
+            gk = first_kps[first_ids == f]
+            fkf = map_db.keyframes[KfId(int(f))]
+            rays1 = fkf.shared.bearings[gk] @ fkf.camera_to_world_rotation().T
+            rays1 /= np.maximum(np.linalg.norm(rays1, axis=1, keepdims=True),
+                                1e-12)
+            sel = np.flatnonzero(first_ids == f)
+            angle_ok = np.sum(rays1 * rays2[sel], axis=1) < cos_min
+            npix1_all, nok1_all = fkf.shared.normalized_pixels()
+            x1 = npix1_all[gk]
+            pair_ok = angle_ok & nok1_all[gk].astype(bool) & nok2[sel]
+            if not np.any(pair_ok):
+                continue
+            p = np.flatnonzero(pair_ok)
+            P1 = fkf.pose_cw[:3]
+            x2 = npix2[sel[p]]
+            m = len(p)
+            A = np.empty((m, 4, 4))
+            A[:, 0] = x1[p, 0, None] * P1[2] - P1[0]
+            A[:, 1] = x1[p, 1, None] * P1[2] - P1[1]
+            A[:, 2] = x2[:, 0, None] * P2[2] - P2[0]
+            A[:, 3] = x2[:, 1, None] * P2[2] - P2[1]
+            _, _, vt = np.linalg.svd(A)
+            Xh = vt[:, -1, :]
+            w_ok = np.abs(Xh[:, 3]) >= 1e-12
+            rows = g[p[w_ok]]
+            positions[rows] = (Xh[w_ok, :3]
+                               / Xh[w_ok, 3, None])
+            have_pos[rows] = True
+
+    cand = np.flatnonzero(have_pos)
+    if len(cand) == 0:
+        return fallback_passed
+    # position is written BEFORE the chi2 vote, like the scalar path
+    for i in cand.tolist():
+        mps_b[i].position = positions[i].copy()
+    cand_mps = [mps_b[i] for i in cand]
+    n_ok = _mtf_chi2_counts(positions[cand], cand_mps, map_db, settings)
+    passed = fallback_passed
+    for j, mp in enumerate(cand_mps):
+        if n_ok[j] >= 2:
+            mp.status = (MapPointStatus.TRIANGULATED
+                         if len(mp.observations) > 2
+                         else MapPointStatus.UNSURE)
+            passed.append(mp)
+    return passed
+
+
+@timed
+def match_tracked_features(current_keyframe: Keyframe, map_db: MapDB,
+                           settings: StaticSettings) -> None:
+    """Associate LK tracks with map points; create/triangulate as needed
+    (reference: mapper_helpers.cpp:67-142).
+
+    Batched implementation of ``_match_tracked_features_scalar`` (the
+    semantics reference, cross-checked in tests/test_pipeline_e2e.py):
+    tracked keypoints partition into
+      - fresh tracks -> new NOT_TRIANGULATED points (vectorized colors),
+      - tracks on a not-yet-TRIANGULATED point -> one batched first+last
+        triangulation (depth seeding, grouped two-view DLT, chi2 vote),
+      - tracks on a TRIANGULATED point -> vectorized frustum / viewing-cone /
+        chi2 acceptance,
+    and the surviving points take ONE batched medoid-descriptor and
+    viewing-cone refresh instead of per-point update calls."""
+    parameters = settings.parameters.slam
+    kf = current_keyframe
+    if not kf.keypoint_to_track:
+        return
+    items = sorted(kf.keypoint_to_track.items())
+    t2mp = map_db.track_id_to_map_point
+    mpd = map_db.map_points
+    pend_mps: List[MapPoint] = []
+    pend_kps: List[int] = []
+    tri_mps: List[MapPoint] = []
+    tri_kps: List[int] = []
+    fresh_kps: List[int] = []
+    fresh_tids: List[TrackId] = []
+    for kp_id, track_id in items:
+        mp_id = t2mp.get(track_id)
+        if mp_id is not None:
+            mp = mpd[mp_id]
+            if mp.status != MapPointStatus.TRIANGULATED:
+                mp.add_observation(kf.id, kp_id)
+                kf.add_observation(mp.id, kp_id)
+                pend_mps.append(mp)
+                pend_kps.append(int(kp_id))
+            else:
+                tri_mps.append(mp)
+                tri_kps.append(int(kp_id))
+        elif kf.has_full_features:
+            fresh_kps.append(int(kp_id))
+            fresh_tids.append(track_id)
+
+    desc_batch: List[MapPoint] = []
+    cone_batch: List[MapPoint] = []
+
+    if pend_mps:
+        passed = _mtf_pending(kf, pend_mps, np.asarray(pend_kps, np.int64),
+                              map_db, settings)
+        desc_batch.extend(passed)
+        cone_batch.extend(mp for mp in passed
+                          if mp.status == MapPointStatus.TRIANGULATED)
+
+    if tri_mps:
+        # frustum + viewing-cone + chi2 acceptance for already-triangulated
+        # points (keyframe.cpp:247-262 + mapper_helpers.cpp:576-598 gates)
+        kps_a = np.asarray(tri_kps, np.int64)
+        store = map_db.mp_store
+        rows = np.fromiter((mp._row for mp in tri_mps), np.int64,
+                           count=len(tri_mps))
+        positions = store.position[rows]
+        pix, visible = kf.reproject_many(positions)
+        mp_to_kf = (kf.camera_center() - positions).astype(np.float32)
+        dist = np.linalg.norm(mp_to_kf, axis=1)
+        norms_arr = store.norm[rows]
+        min_d = store.min_viewing_distance[rows]
+        max_d = store.max_viewing_distance[rows]
+        dots = np.sum(mp_to_kf * norms_arr, axis=1)
+        viewing_cos = np.where(dist > 0, dots / np.maximum(dist, 1e-30), 1.0)
+        frustum = (visible & (dist >= min_d) & (dist <= max_d)
+                   & (viewing_cos >= 0.5))
+        rel_base = (get_focal_length(kf)
+                    * parameters.relativeReprojectionErrorThreshold)
+        ref_scale = len(settings.scaleFactors) // 2
+        sigma_sq = np.asarray(settings.levelSigmaSq, np.float64)
+        sigma2 = (sigma_sq[kf.shared.octave[kps_a]] / sigma_sq[ref_scale]
+                  * rel_base * rel_base)
+        err = np.sum((pix - kf.shared.pts[kps_a]) ** 2, axis=1)
+        accept = frustum & (err <= CHI2_INV2D * sigma2)
+        for i in np.flatnonzero(accept).tolist():
+            mp = tri_mps[i]
+            mp.add_observation(kf.id, KpId(tri_kps[i]))
+            kf.add_observation(mp.id, KpId(tri_kps[i]))
+            if kf.has_full_features:
+                desc_batch.append(mp)
+            cone_batch.append(mp)
+
+    if fresh_kps:
+        # fresh tracks: one new NOT_TRIANGULATED point per track
+        # (mapper_helpers.cpp:127-141); n=1 medoid == own descriptor
+        kps_a = np.asarray(fresh_kps, np.int64)
+        if kf.shared.colors is not None:
+            colors = kf.shared.colors[kps_a]
+        else:
+            colors = np.zeros((len(kps_a), 3), np.uint8)
+        descs = kf.shared.descriptors[kps_a]
+        for j, (kp, tid) in enumerate(zip(fresh_kps, fresh_tids)):
+            new_id = map_db.next_mp_id()
+            mp = MapPoint(new_id, kf.id, KpId(kp))
+            kf.add_observation(mp.id, KpId(kp))
+            mpd[new_id] = mp
+            mp.descriptor = descs[j].copy()
+            mp.track_id = tid
+            mp.color = colors[j]
+            t2mp[tid] = mp.id
+
+    _batch_update_descriptors(desc_batch, map_db)
+    _batch_update_cones(cone_batch, map_db, settings)
 
 
 @timed

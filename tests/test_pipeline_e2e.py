@@ -188,6 +188,59 @@ class TestBatchedTriangulation:
         assert n_checked > 50
 
 
+class TestMatchTrackedLockstep:
+    @pytest.mark.parametrize("with_depth", [False, True])
+    def test_batched_matches_scalar(self, with_depth, monkeypatch):
+        """The batched match_tracked_features must reproduce the scalar
+        per-keypoint walk (its semantics reference) at EVERY pipeline call:
+        same observation wiring, statuses, positions, descriptors, cones,
+        and map-point id allocation."""
+        from slam_tpu.pipeline import mapper_helpers as mh
+
+        real = mh.match_tracked_features
+        calls = {"n": 0, "pend": 0, "tri": 0, "fresh": 0}
+
+        def lockstep(kf, map_db, settings):
+            db2 = map_db.copy()
+            same = kf is map_db.keyframes.get(kf.id)
+            kf2 = db2.keyframes[kf.id] if same else kf.copy()
+            mh._match_tracked_features_scalar(kf2, db2, settings)
+            real(kf, map_db, settings)
+            calls["n"] += 1
+            assert np.array_equal(kf.map_points, kf2.map_points)
+            assert set(map_db.map_points) == set(db2.map_points)
+            assert map_db.track_id_to_map_point == db2.track_id_to_map_point
+            assert map_db._next_mp == db2._next_mp
+            for mp_id, a in map_db.map_points.items():
+                b = db2.map_points[mp_id]
+                assert a.status == b.status, mp_id
+                assert a.observations == b.observations, mp_id
+                assert a.track_id == b.track_id, mp_id
+                np.testing.assert_allclose(a.position, b.position,
+                                           rtol=1e-7, atol=1e-9)
+                assert np.array_equal(a.descriptor, b.descriptor), mp_id
+                np.testing.assert_allclose(a.norm, b.norm,
+                                           rtol=1e-4, atol=1e-6)
+                np.testing.assert_allclose(
+                    [a.min_viewing_distance, a.max_viewing_distance],
+                    [b.min_viewing_distance, b.max_viewing_distance],
+                    rtol=1e-7, atol=1e-12)
+            # track path coverage so the test can't silently go vacuous
+            st = [map_db.map_points[m].status
+                  for m in map_db.track_id_to_map_point.values()]
+            calls["tri"] += sum(s == MapPointStatus.TRIANGULATED for s in st)
+            calls["pend"] += sum(s != MapPointStatus.TRIANGULATED for s in st)
+            calls["fresh"] = max(calls["fresh"], len(map_db.map_points))
+
+        monkeypatch.setattr(mh, "match_tracked_features", lockstep)
+        world = make_world(n_frames=22, n_landmarks=220, odom_noise=0.004)
+        mapper, _, _ = run_sequence(world, default_params(),
+                                    with_depth=with_depth)
+        check_consistency(mapper.map_db)
+        assert calls["n"] >= 20
+        assert calls["pend"] > 0 and calls["tri"] > 0 and calls["fresh"] > 50
+
+
 class TestPipelinedLocalBA:
     """pipelinedLocalBA: deferred BA apply must stay close to the synchronous
     pipeline and keep the map consistent (see docs/ARCHITECTURE.md §4)."""
