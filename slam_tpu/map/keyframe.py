@@ -284,42 +284,50 @@ class Keyframe:
 
     def compute_median_depth(self, map_db: "MapDB", default_depth: float = 2.0) -> float:
         """Median z of triangulated observed points
-        (reference: keyframe.cpp:164-190)."""
+        (reference: keyframe.cpp:164-190). One columnar gather + partition
+        instead of a per-point attribute walk (same lower-median element)."""
         from slam_tpu.map.map_point import MapPointStatus
-        rot_z = self.pose_cw[2, :3]
-        trans_z = self.pose_cw[2, 3]
-        depths = []
-        for mp_id in self.map_points:
-            if mp_id < 0:
-                continue
-            mp = map_db.map_points[MpId(mp_id)]
-            if mp.status != MapPointStatus.TRIANGULATED:
-                continue
-            depths.append(float(rot_z @ mp.position + trans_z))
-        if not depths:
+        store = map_db.mp_store
+        vals = self.map_points[self.map_points >= 0]
+        rows, live = store.rows_of(vals)
+        keep = live & (store.status[rows] == int(MapPointStatus.TRIANGULATED))
+        if not keep.any():
             return default_depth
-        depths.sort()
-        return depths[(len(depths) - 1) // 2]
+        depths = (store.position[rows[keep]] @ self.pose_cw[2, :3]
+                  + self.pose_cw[2, 3])
+        k = (len(depths) - 1) // 2
+        return float(np.partition(depths, k)[k])
 
     def get_neighbors(self, map_db: "MapDB", min_covisibilities: int = 1,
                       triangulated_only: bool = False) -> List[KfId]:
         """Covisibility neighbors; prev/next always count
         (reference: keyframe.cpp:192-230).
 
-        Counting runs at C level (Counter over chained observation dicts);
-        the prev/next floor of ``min_covisibilities`` is added afterwards,
-        which is exactly the scalar loop's "seed then increment" tally."""
+        Fast path: the incremental pair counts maintained by the MpStore
+        observation hooks (``mp_store.covis``) — identical to the scalar
+        tally under the audited keyframe<->map-point link invariant, with
+        the prev/next ``min_covisibilities`` floor meaning prev/next always
+        qualify. The Counter recount remains for ``triangulated_only`` (the
+        reference flag; unused in the pipeline) and as the audit reference
+        in ``check_consistency``."""
+        if not triangulated_only:
+            counts = map_db.mp_store.covis.get(self.id)
+            out = ({kf_id for kf_id, c in counts.items()
+                    if c >= min_covisibilities} if counts else set())
+            if self.previous_kf_id.valid:
+                out.add(self.previous_kf_id)
+            if self.next_kf_id.valid:
+                out.add(self.next_kf_id)
+            out.discard(self.id)
+            return sorted(out)
         from collections import Counter
         from itertools import chain
         from slam_tpu.map.map_point import MapPointStatus
         mpd = map_db.map_points
         vals = self.map_points
         mps = [mpd[v] for v in vals[vals >= 0].tolist()]
-        if triangulated_only:
-            obs_iter = (mp.observations for mp in mps
-                        if mp.status == MapPointStatus.TRIANGULATED)
-        else:
-            obs_iter = (mp.observations for mp in mps)
+        obs_iter = (mp.observations for mp in mps
+                    if mp.status == MapPointStatus.TRIANGULATED)
         covis = Counter(chain.from_iterable(obs_iter))
         if self.previous_kf_id.valid:
             covis[self.previous_kf_id] += min_covisibilities

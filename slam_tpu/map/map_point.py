@@ -73,8 +73,10 @@ class MapPoint:
 
     def add_observation(self, keyframe_id: KfId, keypoint_id: KpId) -> None:
         assert keyframe_id not in self.observations
-        self.observations[keyframe_id] = keypoint_id
         store = self._store
+        if store is not None:
+            store.covis_link(keyframe_id, self.observations)
+        self.observations[keyframe_id] = keypoint_id
         if store is not None:
             row = self._row
             store.n_obs[row] += 1
@@ -94,6 +96,7 @@ class MapPoint:
         del self.observations[keyframe_id]
         store = self._store
         if store is not None:
+            store.covis_unlink(keyframe_id, self.observations)
             row = self._row
             store.n_obs[row] -= 1
             if store.first_kf[row] == int(keyframe_id):

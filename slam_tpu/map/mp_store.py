@@ -17,7 +17,8 @@ snapshot between mutations — the pipeline's per-row "mutable state" rechecks
 """
 from __future__ import annotations
 
-from typing import List, Optional, Tuple
+from collections import Counter
+from typing import Dict, List, Optional, Tuple
 
 import numpy as np
 
@@ -37,6 +38,12 @@ class MpStore:
         self.free: List[int] = []
         self.id2row = np.full(1024, -1, np.int64)
         self.objs: List[Optional[object]] = [None] * cap
+        # incremental covisibility: covis[a][b] = number of registered map
+        # points observed by keyframes a AND b, maintained by the observation
+        # hooks + adopt/release. Keyframe.get_neighbors reads this instead of
+        # re-counting every observation dict per call (keyframe.cpp:192-230
+        # semantics; audited against a recount in check_consistency).
+        self.covis: Dict[object, Counter] = {}
 
     def _alloc(self, cap: int) -> None:
         self.cap = cap
@@ -59,6 +66,39 @@ class MpStore:
         (self.status[:n], self.position[:n], self.norm[:n],
          self.min_viewing_distance[:n], self.max_viewing_distance[:n],
          self.descriptor[:n], self.n_obs[:n], self.first_kf[:n]) = old
+
+    # ------------------------------------------------------------------
+
+    def covis_link(self, kf_id, others) -> None:
+        """One map point became co-observed by ``kf_id`` and each of
+        ``others``: bump the pair counts symmetrically."""
+        cv = self.covis
+        mine = cv.get(kf_id)
+        if mine is None:
+            mine = cv[kf_id] = Counter()
+        for other in others:
+            mine[other] += 1
+            co = cv.get(other)
+            if co is None:
+                co = cv[other] = Counter()
+            co[kf_id] += 1
+
+    def covis_unlink(self, kf_id, others) -> None:
+        """Reverse of ``covis_link`` (zero entries are deleted)."""
+        cv = self.covis
+        mine = cv.get(kf_id)
+        for other in others:
+            v = mine[other] - 1
+            if v:
+                mine[other] = v
+            else:
+                del mine[other]
+            co = cv[other]
+            v = co[kf_id] - 1
+            if v:
+                co[kf_id] = v
+            else:
+                del co[kf_id]
 
     # ------------------------------------------------------------------
 
@@ -89,6 +129,9 @@ class MpStore:
         self.n_obs[row] = len(mp.observations)
         self.first_kf[row] = (int(min(mp.observations))
                               if mp.observations else -1)
+        keys = list(mp.observations)
+        for i in range(1, len(keys)):
+            self.covis_link(keys[i], keys[:i])
         object.__setattr__(mp, "_store", self)
 
     def release(self, mp) -> None:
@@ -97,6 +140,9 @@ class MpStore:
         self.id2row[int(mp.id)] = -1
         self.objs[row] = None
         self.free.append(row)
+        keys = list(mp.observations)
+        for i in range(1, len(keys)):
+            self.covis_unlink(keys[i], keys[:i])
         object.__setattr__(mp, "_store", None)
         object.__setattr__(mp, "_row", -1)
 

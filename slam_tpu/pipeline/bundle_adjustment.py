@@ -344,10 +344,18 @@ class _ProblemBuilder:
 
     def apply_points(self, result: ba.BAResult, map_db: MapDB) -> None:
         points = np.asarray(result.points, np.float64)
+        # object attributes one by one (each map point owns its array), but
+        # the columnar mirror in ONE vectorized write instead of a
+        # write-through store update per point
+        store = map_db.mp_store
+        rows = np.full(len(self.mp_ids), -1, np.int64)
         for i, mp_id in enumerate(self.mp_ids):
             mp = map_db.map_points.get(mp_id)
             if mp is not None:
-                mp.position = points[i].copy()
+                object.__setattr__(mp, "position", points[i].copy())
+                rows[i] = mp._row
+        live = rows >= 0
+        store.position[rows[live]] = points[:len(rows)][live]
 
     def prune_outliers(self, result: ba.BAResult, map_db: MapDB) -> None:
         """chi2 > 5.991 observation pruning (reference:

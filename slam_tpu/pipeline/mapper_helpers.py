@@ -181,7 +181,7 @@ def _batch_update_cones(mps: List[MapPoint], map_db: MapDB,
     max_d = dist0 * sf[first_oct]
     min_d = max_d / float(sf[-1])
     for i, mp in enumerate(mps):
-        mp.norm = norms[i]
+        mp.norm = norms[i].copy()
         mp.max_viewing_distance = float(max_d[i])
         mp.min_viewing_distance = float(min_d[i])
 
@@ -814,6 +814,10 @@ def remove_keyframe(kf_id: KfId, map_db: MapDB, bow_index=None) -> None:
     for mp in map_db.map_points.values():
         if mp.reference_keyframe == keyframe.id:
             mp.reference_keyframe = prev
+    # every observation of this keyframe was erased above, so its pair
+    # counts must all have drained — drop the empty covis slot
+    leftover = map_db.mp_store.covis.pop(kf_id, None)
+    assert not leftover, f"covis leftover for removed keyframe {kf_id}"
     del map_db.keyframes[kf_id]
 
 
@@ -877,6 +881,23 @@ def check_consistency(map_db: MapDB) -> None:
             kf = map_db.keyframes[kf_id]
             assert int(mp_id) in kf.map_points.tolist(), \
                 "MapPoint has reference to Keyframe but Keyframe not to MapPoint"
+    # the incremental covisibility cache must equal a from-scratch recount
+    from collections import Counter
+    recount: Dict[KfId, Counter] = {}
+    for mp in map_db.map_points.values():
+        keys = list(mp.observations)
+        for i, a in enumerate(keys):
+            ca = recount.get(a)
+            if ca is None:
+                ca = recount[a] = Counter()
+            for b in keys[i + 1:]:
+                ca[b] += 1
+                cb = recount.get(b)
+                if cb is None:
+                    cb = recount[b] = Counter()
+                cb[a] += 1
+    cached = {k: v for k, v in store.covis.items() if v}
+    assert cached == recount, "covisibility cache out of sync"
     if map_db.keyframes:
         ids = set()
         kf_id = max(map_db.keyframes)
@@ -1362,17 +1383,30 @@ def refresh_map_points(current_keyframe: Keyframe, map_db: MapDB,
         flat = None
         med = None
 
+    # object attributes per point, columnar mirror in vectorized writes
+    # (object.__setattr__ skips the per-attribute write-through)
     min_obs = ps.minObservationsForBA
+    store = map_db.mp_store
+    rows = np.fromiter((mp._row for mp in mps), np.int64, count=n)
+    statuses = np.empty(n, np.int8)
+    descs_out = store.descriptor[rows]
     for i, mp in enumerate(mps):
         if med is not None and med[i] >= 0:
-            mp.descriptor = flat[dptr[i] + med[i]].copy()
-        mp.norm = norms[i]
-        mp.max_viewing_distance = float(max_d[i])
-        mp.min_viewing_distance = float(min_d[i])
-        if len(mp.observations) >= min_obs:
-            mp.status = MapPointStatus.TRIANGULATED
-        else:
-            mp.status = MapPointStatus.UNSURE
+            d = flat[dptr[i] + med[i]]
+            descs_out[i] = d
+            object.__setattr__(mp, "descriptor", d.copy())
+        object.__setattr__(mp, "norm", norms[i].copy())
+        object.__setattr__(mp, "max_viewing_distance", float(max_d[i]))
+        object.__setattr__(mp, "min_viewing_distance", float(min_d[i]))
+        st = (MapPointStatus.TRIANGULATED
+              if len(mp.observations) >= min_obs else MapPointStatus.UNSURE)
+        object.__setattr__(mp, "status", st)
+        statuses[i] = int(st)
+    store.descriptor[rows] = descs_out
+    store.norm[rows] = norms
+    store.max_viewing_distance[rows] = max_d
+    store.min_viewing_distance[rows] = min_d
+    store.status[rows] = statuses
 
 
 # ---------------------------------------------------------------------------

@@ -312,8 +312,12 @@ class _MpColumnCache:
         hit = (uv[idx_c] == vals) if len(uv) else np.zeros(len(vals), bool)
         rows = np.where(hit, idx_c, 0)
         self.vals = np.where(hit, vals, -1)
-        self.mps = [self._p_mps[r] if h else None
-                    for r, h in zip(rows.tolist(), hit.tolist())]
+        # map-point OBJECTS are only touched for the few rows that survive
+        # the static gates — resolve them lazily via mp_at instead of
+        # materializing a Python list over every candidate id per call
+        self.mps = None
+        self._lookup_rows = rows
+        self._lookup_hit = hit
         self.positions = self._p_positions[rows]
         self.norms = self._p_norms[rows]
         self.descs = self._p_descs[rows]
@@ -321,6 +325,15 @@ class _MpColumnCache:
         self.min_d = self._p_min_d[rows]
         self.status_ok = self._p_status_ok[rows] & hit
         return self
+
+    def mp_at(self, i: int):
+        """The map-point object of lookup row ``i`` (None when the id was
+        absent) — lazy on the primed path, see ``_lookup_primed``."""
+        if self.mps is not None:
+            return self.mps[i]
+        if not self._lookup_hit[i]:
+            return None
+        return self._p_mps[int(self._lookup_rows[i])]
 
     def lookup(self, mp_ids: List[MpId], key=None):
         if self._primed_vals is not None:
@@ -434,7 +447,7 @@ def replace_duplication(kf: Keyframe, mp_ids: Iterable[MpId], margin: float,
 
     for k in iter_rows:
         src = rows[k]
-        mp_id, mp = mp_ids[src], cols.mps[src]
+        mp_id, mp = mp_ids[src], cols.mp_at(src)
         if mp is None:
             continue
         if mp_id in erased or mp.id not in map_db.map_points:

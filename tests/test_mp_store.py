@@ -111,3 +111,65 @@ class TestAdoption:
         mp.position = np.ones(3)
         mp.add_observation(KfId(9), KpId(0))
         assert mp._store is None  # no store interaction before adoption
+
+
+class TestCovisibility:
+    """The incremental pair counts (MpStore.covis) must track the
+    observation links exactly; Keyframe.get_neighbors reads them instead of
+    recounting every observation dict (keyframe.cpp:192-230 tally)."""
+
+    @staticmethod
+    def _recount(db):
+        from collections import Counter
+        out = {}
+        for mp in db.map_points.values():
+            keys = list(mp.observations)
+            for i, a in enumerate(keys):
+                for b in keys[i + 1:]:
+                    out.setdefault(a, Counter())[b] += 1
+                    out.setdefault(b, Counter())[a] += 1
+        return out
+
+    def _check(self, db):
+        cached = {k: v for k, v in db.mp_store.covis.items() if v}
+        assert cached == self._recount(db)
+
+    def test_links_follow_observation_lifecycle(self):
+        db = MapDB()
+        a = _mk(0, kf=1)
+        db.map_points[a.id] = a
+        a.add_observation(KfId(2), KpId(1))
+        a.add_observation(KfId(3), KpId(2))
+        assert db.mp_store.covis[KfId(1)][KfId(2)] == 1
+        assert db.mp_store.covis[KfId(2)][KfId(3)] == 1
+        self._check(db)
+        a.erase_observation(KfId(2))
+        assert KfId(2) not in db.mp_store.covis.get(KfId(1), {})
+        self._check(db)
+        # set_observation: replace keeps counts, insert bumps them
+        a.set_observation(KfId(3), KpId(9))
+        self._check(db)
+        a.set_observation(KfId(4), KpId(0))
+        assert db.mp_store.covis[KfId(1)][KfId(4)] == 1
+        self._check(db)
+
+    def test_adopt_links_preexisting_observations(self):
+        db = MapDB()
+        mp = _mk(0, kf=1)
+        mp.add_observation(KfId(2), KpId(1))   # before adoption: no store
+        db.map_points[mp.id] = mp              # adopt links every pair
+        assert db.mp_store.covis[KfId(1)][KfId(2)] == 1
+        self._check(db)
+        del db.map_points[mp.id]               # release drains the pairs
+        assert not any(db.mp_store.covis.values())
+
+    def test_counts_accumulate_across_points(self):
+        db = MapDB()
+        for i in range(3):
+            mp = _mk(i, kf=1, kp=i)
+            db.map_points[mp.id] = mp
+            mp.add_observation(KfId(2), KpId(i))
+        assert db.mp_store.covis[KfId(1)][KfId(2)] == 3
+        db.map_points[MpId(0)].erase_observation(KfId(2))
+        assert db.mp_store.covis[KfId(2)][KfId(1)] == 2
+        self._check(db)

@@ -59,7 +59,7 @@ TEX_SIZE = 2048
 SPEED = 9.0                     # m/s along the circuit (KITTI-urban-like)
 
 
-def make_street_scene(seed=0):
+def make_street_scene(seed=0, outer=OUTER, inner=INNER):
     """Planes in the `run_euroc_synthetic.render` format:
     (axis, plane value, u-axis, v-axis, u half-extent, v half-extent).
 
@@ -81,40 +81,42 @@ def make_street_scene(seed=0):
     # outer wall ring (faces inward)
     for ax in (0, 2):
         for sgn in (-1.0, 1.0):
-            planes.append((ax, sgn * OUTER, 2 - ax, 1, OUTER, hy))
-            textures.append(tex(OUTER))
+            planes.append((ax, sgn * outer, 2 - ax, 1, outer, hy))
+            textures.append(tex(outer))
     # inner city block (faces outward into the street)
     for ax in (0, 2):
         for sgn in (-1.0, 1.0):
-            planes.append((ax, sgn * INNER, 2 - ax, 1, INNER, hy))
-            textures.append(tex(INNER))
+            planes.append((ax, sgn * inner, 2 - ax, 1, inner, hy))
+            textures.append(tex(inner))
     # ground plane (y is down in CV convention: ground at +hy)
-    planes.append((1, hy, 0, 2, OUTER, OUTER))
-    textures.append(tex(OUTER))
+    planes.append((1, hy, 0, 2, outer, outer))
+    textures.append(tex(outer))
     return textures, planes
 
 
-def make_sequence(n_frames):
+def make_sequence(n_frames, radius=RADIUS):
     """Circuit ground truth: constant-speed drive around the circle; the
     revisit (loop closure) happens after one full lap, ~frame 558 at the
     defaults, and the camera keeps driving past it."""
     times = np.arange(n_frames) / FPS
     # constant speed: angle step from SPEED m/frame at RADIUS
-    step = SPEED / FPS / RADIUS
+    step = SPEED / FPS / radius
     phases = np.arange(n_frames) * step
-    poses_cw = np.stack([circle_pose_cw(p, radius=RADIUS) for p in phases])
+    poses_cw = np.stack([circle_pose_cw(p, radius=radius) for p in phases])
     return times, poses_cw
 
 
-def run(n_frames=620, drift=0.01, drift_yaw=3e-4, seed=0, viz="",
-        blackout=(310, 314), reloc=True, progress=True, scale=True):
+def run(n_frames=620, drift=0.01, drift_yaw=4e-5, seed=0, viz="",
+        blackout=(310, 314), reloc=True, progress=True, scale=True,
+        radius=RADIUS):
     from slam_tpu.frontends.descriptor_tracker import DescriptorTracker
     from slam_tpu.map.keyframe import MapperInput, Pose
     from slam_tpu.params import Parameters, ParametersSlam, StaticSettings
     from slam_tpu.pipeline.mapper import Mapper
 
-    scene = make_street_scene(seed)
-    times, poses_cw = make_sequence(n_frames)
+    f = radius / RADIUS
+    scene = make_street_scene(seed, outer=OUTER * f, inner=INNER * f)
+    times, poses_cw = make_sequence(n_frames, radius=radius)
     rng = np.random.default_rng(seed + 7)
 
     map_path = os.path.join("/tmp", "kitti_synth_map.npz")
@@ -163,7 +165,11 @@ def run(n_frames=620, drift=0.01, drift_yaw=3e-4, seed=0, viz="",
         # one loop closure + global BA exist to correct. The bias rotates
         # the estimated world about the y (up) axis: position error grows
         # with distance from the origin like real heading drift grows with
-        # distance traveled.
+        # distance traveled. The default 4e-5 rad/frame keeps the revisit
+        # correction (~ RADIUS * yaw at lap end ~ 1.8 m) inside the
+        # reference's acceptance gates (maximumDriftMetersPerSecond = 0.05
+        # over the ~56 s lap allows ~2.8 m); the reference rejects larger
+        # corrections as drift-gate violations (loop_closer.cpp:280-338).
         drift_rw += rng.normal(0.0, drift, 3)
         ang = drift_yaw * i
         c, s = np.cos(ang), np.sin(ang)
@@ -224,6 +230,9 @@ def run(n_frames=620, drift=0.01, drift_yaw=3e-4, seed=0, viz="",
             mapper_ms_trace[:q])), 1),
         "mapper_ms_last_quarter": round(float(np.mean(
             mapper_ms_trace[-q:])), 1),
+        # candidate-rejection taxonomy (reference: loop_closer_stats.hpp)
+        "loop_stats": {k.value: v for k, v in
+                       mapper.loop_closer.stats.totals.items()},
     }
     if viz:
         from slam_tpu.utils.viz2d import PngDebugPublisher
@@ -280,8 +289,11 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=620)
     ap.add_argument("--drift", type=float, default=0.01)
-    ap.add_argument("--drift-yaw", type=float, default=3e-4,
+    ap.add_argument("--drift-yaw", type=float, default=4e-5,
                     help="heading-rate bias, rad/frame")
+    ap.add_argument("--radius", type=float, default=RADIUS,
+                    help="circuit radius (scene scales with it); smaller "
+                         "radius = shorter lap for quick loop diagnostics")
     ap.add_argument("--no-scale", action="store_true",
                     help="keep default keyframe decision + culling gates")
     ap.add_argument("--seed", type=int, default=0)
@@ -298,6 +310,7 @@ def main():
     res = run(n_frames=args.frames, drift=args.drift,
               drift_yaw=args.drift_yaw, seed=args.seed,
               viz=args.viz, reloc=not args.no_reloc, scale=not args.no_scale,
+              radius=args.radius,
               blackout=None if args.no_blackout else (args.frames // 2,
                                                       args.frames // 2 + 4))
     print(json.dumps(res, indent=2))
