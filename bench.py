@@ -476,6 +476,27 @@ def main():
     }
     if errors:
         out["errors"] = errors
+
+    # Persist the last real-TPU measurement; on fallback attach it so a
+    # tunnel outage at measurement time cannot erase the genuine TPU numbers
+    # (round-2 postmortem: the recorded bench was a 1-core CPU fallback).
+    cache_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              ".bench_last_tpu.json")
+    if not fallback:
+        try:
+            stamp = dict(out)
+            stamp["recorded_at"] = time.strftime("%Y-%m-%dT%H:%M:%SZ",
+                                                 time.gmtime())
+            with open(cache_path, "w") as f:
+                json.dump(stamp, f)
+        except OSError:
+            pass
+    else:
+        try:
+            with open(cache_path) as f:
+                out["last_tpu_result"] = json.load(f)
+        except (OSError, ValueError):
+            pass
     print(json.dumps(out))
 
 
