@@ -108,11 +108,15 @@ def make_sequence(n_frames, radius=RADIUS):
 
 def run(n_frames=620, drift=0.01, drift_yaw=4e-5, seed=0, viz="",
         blackout=(310, 314), reloc=True, progress=True, scale=True,
-        radius=RADIUS):
+        radius=RADIUS, stage_stats=False):
     from slam_tpu.frontends.descriptor_tracker import DescriptorTracker
     from slam_tpu.map.keyframe import MapperInput, Pose
     from slam_tpu.params import Parameters, ParametersSlam, StaticSettings
     from slam_tpu.pipeline.mapper import Mapper
+
+    if stage_stats:
+        from slam_tpu.utils import timer
+        timer.enable_timing()
 
     f = radius / RADIUS
     scene = make_street_scene(seed, outer=OUTER * f, inner=INNER * f)
@@ -234,6 +238,11 @@ def run(n_frames=620, drift=0.01, drift_yaw=4e-5, seed=0, viz="",
         "loop_stats": {k.value: v for k, v in
                        mapper.loop_closer.stats.totals.items()},
     }
+    if stage_stats:
+        from slam_tpu.utils import timer
+        print(timer.TIME_STATS.table(), flush=True)
+        timer.disable_timing()
+
     if viz:
         from slam_tpu.utils.viz2d import PngDebugPublisher
         pub = PngDebugPublisher(viz)
@@ -263,6 +272,10 @@ def run_relocation_pass(scene, map_path, seed, n_frames=50):
     mapper = Mapper(params)
     step = SPEED / FPS / RADIUS
     trail = []
+    # loop_stages is cleared per keyframe (reference viewer semantics), so
+    # accumulate the furthest stage each atlas candidate reached over the
+    # whole arc instead of sampling only the final frame
+    best_stage = {}
     for i in range(n_frames):
         pose_cw = circle_pose_cw(i * step, radius=RADIUS)
         image = render(scene, pose_cw, cam=CAM)
@@ -274,14 +287,16 @@ def run_relocation_pass(scene, map_path, seed, n_frames=50):
             frame=image, camera=CAM, track_ids=tf.tracked_id_list,
             track_pts=tf.tracked_pts, track_depths=None,
             pose_trail=list(trail), t=t))
+        for k, s in mapper.map_db.loop_stages.items():
+            if k.map_id != CURRENT_MAP_ID and (
+                    k not in best_stage or s.value > best_stage[k].value):
+                best_stage[k] = s
     mapper.end("")
-    stages = {k: s for k, s in mapper.map_db.loop_stages.items()
-              if k.map_id != CURRENT_MAP_ID}
     by_stage = {}
-    for s in stages.values():
+    for s in best_stage.values():
         by_stage[s.name] = by_stage.get(s.name, 0) + 1
     return {"atlas_keyframes": len(mapper.atlas[0].keyframes),
-            "candidates_considered": len(stages),
+            "candidates_considered": len(best_stage),
             "stages": by_stage}
 
 
@@ -299,6 +314,8 @@ def main():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--viz", default="")
     ap.add_argument("--no-reloc", action="store_true")
+    ap.add_argument("--stage-stats", action="store_true",
+                    help="print the per-stage host time table at the end")
     ap.add_argument("--no-blackout", action="store_true")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (TPU tunnel down); config "
@@ -310,7 +327,7 @@ def main():
     res = run(n_frames=args.frames, drift=args.drift,
               drift_yaw=args.drift_yaw, seed=args.seed,
               viz=args.viz, reloc=not args.no_reloc, scale=not args.no_scale,
-              radius=args.radius,
+              radius=args.radius, stage_stats=args.stage_stats,
               blackout=None if args.no_blackout else (args.frames // 2,
                                                       args.frames // 2 + 4))
     print(json.dumps(res, indent=2))
