@@ -599,8 +599,8 @@ def _batch_triangulate_pairs(cur_kf: Keyframe, pair_list,
     # adjacent frames: per-row poses fused into one projection batch, camera
     # model applied per keyframe group (sessions share one camera, but the
     # model object is per keyframe)
-    z = np.einsum("bj,bj->b", P1[:, 2, :3], positions) + P1[:, 2, 3]
-    pc = np.einsum("bij,bj->bi", P1[:, :, :3], positions) + P1[:, :, 3]
+    z = np.sum(P1[:, 2, :3] * positions, axis=1) + P1[:, 2, 3]
+    pc = (P1[:, :, :3] @ positions[:, :, None])[:, :, 0] + P1[:, :, 3]
     o = 0
     for adj_kf, matches in pair_list:
         s = slice(o, o + len(matches))
@@ -1117,7 +1117,7 @@ def triangulate_map_points(map_db: MapDB, mps, settings: StaticSettings,
     rays_p[rows_pt, cum] = rays
     mask_p[rows_pt, cum] = True
     u = rays_p / np.maximum(np.linalg.norm(rays_p, axis=2, keepdims=True), 1e-12)
-    dots = np.einsum("pmi,pni->pmn", u, u)
+    dots = u @ u.transpose(0, 2, 1)     # pairwise ray cosines, BLAS-batched
     pair_mask = (mask_p[:, :, None] & mask_p[:, None, :]
                  & np.triu(np.ones((Mo, Mo), bool), 1)[None])
     cos_multi = np.cos(np.radians(parameters.minTriangulationAngleMultipleObs))
@@ -1169,9 +1169,11 @@ def triangulate_map_points(map_db: MapDB, mps, settings: StaticSettings,
     if many.any():
         h = np.concatenate([npix, np.ones((R, 1))], axis=1)
         h = h / np.linalg.norm(h, axis=1, keepdims=True)
-        proj = np.einsum("ri,rj,rjk->rik", h, h, pose_rows)
+        # proj[r,i,k] = h_i * (h . pose[:,k]) — rank-1 outer of h with h@pose
+        hp = (h[:, None, :] @ pose_rows)[:, 0]
+        proj = h[:, :, None] * hp[:, None, :]
         cost = (pose_rows - proj) * (nok & many[rows_pt])[:, None, None]
-        ctc = np.einsum("rij,rik->rjk", cost, cost)
+        ctc = cost.transpose(0, 2, 1) @ cost
         design = np.zeros((P, 4, 4))
         np.add.at(design, rows_pt, ctc)
         pi = np.flatnonzero(many)
@@ -1327,7 +1329,7 @@ def refresh_map_points(current_keyframe: Keyframe, map_db: MapDB,
     crow = []                # center-table row per observation row
     first_crow = np.empty(n, np.int64)
     first_oct = np.empty(n, np.int64)
-    desc_chunks = []         # descriptor rows of full-featured observations
+    desc_rows = []           # (center row, kp) of full-featured observations
     dcount = np.zeros(n + 1, np.int64)
     for i, mp in enumerate(mps):
         positions[i] = mp.position
@@ -1343,8 +1345,7 @@ def refresh_map_points(current_keyframe: Keyframe, map_db: MapDB,
             seg.append(i)
             crow.append(r)
             if full_list[r]:
-                desc_chunks.append(
-                    kfs_list[r].shared.descriptors[int(mp.observations[kf_id])])
+                desc_rows.append((r, int(mp.observations[kf_id])))
                 dcount[i + 1] += 1
         r0 = kf_row[obs_sorted[0]]
         first_crow[i] = r0
@@ -1374,10 +1375,17 @@ def refresh_map_points(current_keyframe: Keyframe, map_db: MapDB,
     min_d = max_d / float(sf[-1])
 
     # medoid descriptors: one CSR-batched native scan (n<=2 segments resolve
-    # to the first descriptor, identical to the scalar shortcut)
+    # to the first descriptor, identical to the scalar shortcut). The flat
+    # descriptor matrix is filled by one masked gather per source keyframe
+    # instead of a row copy + stack per observation.
     dptr = np.cumsum(dcount)
-    if desc_chunks:
-        flat = np.stack(desc_chunks)
+    if desc_rows:
+        drow = np.asarray([d[0] for d in desc_rows], np.int64)
+        dkp = np.asarray([d[1] for d in desc_rows], np.int64)
+        flat = np.empty((len(desc_rows), 8), np.uint32)
+        for r in np.unique(drow):
+            mask = drow == r
+            flat[mask] = kfs_list[r].shared.descriptors[dkp[mask]]
         med = native.medoid_descriptor_many(flat, dptr)
     else:
         flat = None

@@ -285,6 +285,7 @@ class _MpColumnCache:
         self.key = None
         self.mps = None
         self._primed_vals = None
+        self._primed_lookup_key = None
 
     def prime(self, union_vals: np.ndarray) -> None:
         """Build the columns once for a sorted unique id array — pure
@@ -293,6 +294,7 @@ class _MpColumnCache:
         store = self.map_db.mp_store
         rows, live = store.rows_of(union_vals)
         self._primed_vals = union_vals
+        self._primed_lookup_key = None
         self._p_mps = [store.objs[r] if ok else None
                        for r, ok in zip(rows.tolist(), live.tolist())]
         self._p_positions = store.position[rows]
@@ -337,6 +339,14 @@ class _MpColumnCache:
 
     def lookup(self, mp_ids: List[MpId], key=None):
         if self._primed_vals is not None:
+            # dedup calls the same candidate list once per adjacent keyframe
+            # (the key only changes when a merge rewrites the current
+            # keyframe's slots) — every derived column is a pure function of
+            # the primed snapshot and the id list, so an equal key means the
+            # previous lookup's state is already exactly right
+            if key is not None and key == self._primed_lookup_key:
+                return self
+            self._primed_lookup_key = key
             n = len(mp_ids)
             vals = (mp_ids if isinstance(mp_ids, np.ndarray)
                     else np.fromiter((int(m) for m in mp_ids), np.int64, n))
@@ -396,7 +406,8 @@ def replace_duplication(kf: Keyframe, mp_ids: Iterable[MpId], margin: float,
     # every mutable condition per row
     kf_vals = kf.map_points
     rows = np.flatnonzero(cols.status_ok & (cols.vals >= 0)
-                          & ~np.isin(cols.vals, kf_vals[kf_vals >= 0]))
+                          & ~np.isin(cols.vals, kf_vals[kf_vals >= 0],
+                                     kind="table"))
     if len(rows) == 0:
         return 0
     positions = cols.positions[rows]
@@ -464,7 +475,7 @@ def replace_duplication(kf: Keyframe, mp_ids: Iterable[MpId], margin: float,
         d = float(dist_all[k])
         if d < mp.min_viewing_distance or d > mp.max_viewing_distance:
             continue
-        if not np.any(mp.norm):
+        if not mp.norm.any():
             continue
         if cos_all[k] < 0.5:
             continue
