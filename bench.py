@@ -279,11 +279,16 @@ def bench_aggregate(n_sessions=4, n_frames=30):
     return best
 
 
-def bench_device_vo(n_sequences=4, chunk=8, n_chunks=6, width=640, height=480):
+def bench_device_vo(n_sequences=4, chunk=8, n_chunks=6, width=640, height=480,
+                    window=0):
     """Device-resident batched VO throughput (slam_tpu/pipeline/device_vo.py):
     S sequences x T frames per dispatch, map state in HBM between dispatches,
     zero per-frame host work. Dispatches chain asynchronously; only the final
-    collect forces completion."""
+    collect forces completion.
+
+    ``window > 0`` additionally runs the device-resident sliding-window
+    local BA (joint pose+landmark LM, `device_vo._window_ba`) every 4 frames
+    inside the scanned program — the full local-BA backend on device."""
     import jax
     from slam_tpu.pipeline.device_vo import BatchedDeviceVO, DeviceVOConfig
 
@@ -307,7 +312,8 @@ def bench_device_vo(n_sequences=4, chunk=8, n_chunks=6, width=640, height=480):
     deltas = np.stack([d[1] for d in data])           # (S, TF, 4, 4)
 
     cfg = DeviceVOConfig(width=width, height=height, lm_capacity=512,
-                         max_keypoints=600)
+                         max_keypoints=600, window=window,
+                         window_ba_every=min(4, chunk))
     vo = BatchedDeviceVO(cfg, batch=n_sequences, camera=cam)
     # warmup chunk: compiles the scan program
     out = vo.advance(images[:, :chunk], deltas[:, :chunk])
@@ -427,6 +433,7 @@ def main():
         device_vo_fps = _guard(errors, "device_vo", bench_device_vo,
                                n_sequences=2, n_chunks=2,
                                width=320, height=240)
+        device_slam_fps = None  # skipped on the CPU fallback (compile cost)
         pipe = _guard(errors, "pipeline", bench_pipeline,
                       n_frames=18, n_passes=1)
         agg_sessions = 2
@@ -441,6 +448,10 @@ def main():
         vo8 = _guard(errors, "device_vo_s8", bench_device_vo, n_sequences=8)
         if vo8 is not None and (device_vo_fps is None or vo8 > device_vo_fps):
             device_vo_fps = vo8
+        # same backend WITH the device-resident sliding-window local BA
+        # (joint pose+landmark LM every 4 frames inside the scan)
+        device_slam_fps = _guard(errors, "device_slam", bench_device_vo,
+                                 window=8)
         pipe = _guard(errors, "pipeline", bench_pipeline)
         agg_sessions = 4
         agg_fps = _guard(errors, "aggregate", bench_aggregate,
@@ -463,6 +474,8 @@ def main():
         "unit": "fps",
         "vs_baseline": _r(device_vo_fps, baseline_fps),
         "platform": platform,
+        "device_slam_keyframes_per_sec": _r(device_slam_fps),
+        "vs_baseline_device_slam": _r(device_slam_fps, baseline_fps),
         "interactive_keyframes_per_sec": _r(fps),
         "vs_baseline_interactive": _r(fps, baseline_fps),
         "aggregate_keyframes_per_sec": _r(agg_fps),

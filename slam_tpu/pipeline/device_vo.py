@@ -16,11 +16,16 @@ staleness culling.
 Every numeric stage is a production kernel:
   - fused ORB front-end          `ops/frontend._extract_impl`
   - popcount-GEMM matching       `ops/hamming.hamming_matrix`
-  - pose-only BA                 `ops/ba._lm_run` (poseBundleAdjust
+  - pose-only BA                 specialized single-pose LM (poseBundleAdjust
                                  semantics: fixed prev pose + fixed map
                                  points + odometry prior edge,
                                  bundle_adjuster.cpp:396-491)
   - two-view triangulation       `ops/ransac.triangulate_two_view_jax`
+  - sliding-window local BA      `ops/ba._lm_run` over the last K frame
+                                 poses + landmark observation store
+                                 (`_window_ba`; localBundleAdjust analogue,
+                                 bundle_adjuster.cpp:141-394) when
+                                 ``cfg.window > 0``
 """
 from __future__ import annotations
 
@@ -46,7 +51,13 @@ class VOState(NamedTuple):
     (world frame). Re-observations refine ``depth`` by 1-D Gauss-Newton on
     the current reprojection, blended over the observation count — the
     device-friendly counterpart of the interactive pipeline's landmark
-    re-triangulation + local BA position updates."""
+    re-triangulation + local BA position updates.
+
+    When ``cfg.window > 0`` the state additionally carries a sliding
+    keyframe window (pose ring of the last K frames + a landmark x window
+    observation store) consumed by the device-resident local BA
+    (`_window_ba`); with the window disabled these fields are kept at
+    capacity 1 and never touched."""
     pose_cw: jnp.ndarray        # (4, 4) current world->camera pose
     lm_pos: jnp.ndarray         # (M, 3) landmark positions, world frame
     lm_desc: jnp.ndarray        # (M, 8) uint32 ORB descriptors
@@ -61,6 +72,12 @@ class VOState(NamedTuple):
     prev_free: jnp.ndarray      # (N,) prev keypoints not matched to the map
     prev_pose_cw: jnp.ndarray   # (4, 4)
     frame_idx: jnp.ndarray      # () int32
+    # --- sliding-window local-BA state (ring indexed by frame_idx % K)
+    win_pose_cw: jnp.ndarray    # (K, 4, 4) poses of the last K frames
+    win_valid: jnp.ndarray      # (K,) slot occupancy
+    win_odo: jnp.ndarray        # (K, 4, 4) odometry delta prev->this frame
+    wobs_meas: jnp.ndarray      # (M, K, 2) normalized-camera measurements
+    wobs_valid: jnp.ndarray     # (M, K) observation validity
 
 
 class VOStepOut(NamedTuple):
@@ -108,6 +125,18 @@ class DeviceVOConfig(NamedTuple):
     odom_pos_weight: float = 100.0
     odom_rot_weight: float = 1000.0
     max_depth_step: float = 0.1          # per-observation relative depth move
+    # sliding-window device-resident local BA (localBundleAdjust analogue,
+    # bundle_adjuster.cpp:141-394, run entirely inside the jitted scan): a
+    # ring of the last `window` frame poses plus a landmark x window
+    # observation store feed the production LM/dense-Schur solver
+    # (`ops/ba._lm_run`) every `window_ba_every` frames — joint pose +
+    # landmark refinement with chi2 observation pruning (:376-388). 0 = off
+    # (pose-only VO). The BA cadence is a STATIC schedule (scan over
+    # frame groups), not a traced cond: under vmap a cond lowers to select
+    # and would run the solve every frame for every sequence.
+    window: int = 0
+    window_ba_every: int = 4
+    window_ba_iters: int = 3
 
 
 def _frontend_spec(settings: StaticSettings, width: int, height: int):
@@ -341,8 +370,105 @@ def _create_landmarks(state: VOState, pose_cw, pts, desc, free_cur,
     lm_anchor_ray = state.lm_anchor_ray.at[slot].set(ray, mode="drop")
     lm_depth = state.lm_depth.at[slot].set(depth, mode="drop")
     lm_n_obs = state.lm_n_obs.at[slot].set(2, mode="drop")
+    # normalized-camera measurements of the two creation observations, for
+    # the sliding-window observation store (slot rows, OOB slots dropped)
+    meas_cur = b_cur[:, :2] / jnp.maximum(b_cur[:, 2:3], 1e-6)
+    meas_prev = b_prev[:, :2] / jnp.maximum(b_prev[:, 2:3], 1e-6)
     return (lm_pos, lm_desc, lm_valid, lm_last_seen, lm_anchor_origin,
-            lm_anchor_ray, lm_depth, lm_n_obs, assign)
+            lm_anchor_ray, lm_depth, lm_n_obs, assign, slot,
+            meas_cur, meas_prev)
+
+
+def _window_ba(state: VOState, cfg: DeviceVOConfig, focal: float) -> VOState:
+    """Device-resident sliding-window local bundle adjustment.
+
+    The full localBundleAdjust analogue (bundle_adjuster.cpp:141-394) run
+    INSIDE the jitted scan on the window state: joint LM over the last K
+    frame poses and all landmarks observed in the window, with
+      - normalized-camera reprojection edges from the observation store
+        (setMapPointMeasurement semantics, bundle_adjuster.cpp:43-63),
+      - odometry-prior SE3 edges between consecutive window frames
+        (makeOdometryEdge, :65-85) weighted like the pose-only BA,
+      - the oldest window pose fixed (gauge; the island-start fix, :195-223),
+      - chi2 > 5.991 observation pruning afterwards (:376-388).
+    Solved by the production `ops/ba._lm_run` (dense Schur at these sizes).
+    """
+    K = int(state.win_pose_cw.shape[0])
+    M = int(state.lm_pos.shape[0])
+    f32 = state.lm_pos.dtype
+
+    last = jnp.mod(state.frame_idx - 1, K)
+    n_valid = jnp.sum(state.win_valid)
+    oldest = jnp.mod(state.frame_idx - n_valid, K)
+    pose_fixed = ~state.win_valid | (jnp.arange(K) == oldest)
+
+    # odometry edges between consecutive window frames: slot b holds the
+    # measured delta prev->b, so edge (a=prev slot, b) has meas C with
+    # zero error at pose_b = C @ pose_a (matching ba._pe_error_fn)
+    offs = jnp.arange(K - 1)
+    pe_b = jnp.mod(last - offs, K)
+    pe_a = jnp.mod(last - offs - 1, K)
+    pe_valid = state.win_valid[pe_a] & state.win_valid[pe_b]
+    sqrt_info = jnp.diag(jnp.asarray(
+        [cfg.odom_rot_weight] * 3 + [cfg.odom_pos_weight] * 3, f32))
+    pe_sqrt_info = jnp.broadcast_to(sqrt_info, (K - 1, 6, 6))
+
+    # observations: the full (M, K) store flattened to static O = M*K
+    obs_valid = (state.wobs_valid & state.lm_valid[:, None]
+                 & state.win_valid[None, :])
+    nobs_win = jnp.sum(obs_valid, axis=1)
+    # landmarks need >= 2 window observations to be a free vertex
+    # (minObservationsForBA semantics); others stay fixed anchors
+    points_fixed = ~state.lm_valid | (nobs_win < 2)
+    obs_mp = jnp.repeat(jnp.arange(M, dtype=jnp.int32), K)
+    obs_kf = jnp.tile(jnp.arange(K, dtype=jnp.int32), M)
+
+    problem = ba.BAProblem(
+        poses=state.win_pose_cw.astype(f32),
+        pose_fixed=pose_fixed,
+        points=state.lm_pos,
+        points_fixed=points_fixed,
+        obs_kf=obs_kf, obs_mp=obs_mp,
+        obs_meas=state.wobs_meas.reshape(M * K, 2),
+        obs_sqrt_info=jnp.full((M * K,), focal, f32),
+        obs_valid=obs_valid.reshape(M * K),
+        pe_a=pe_a.astype(jnp.int32), pe_b=pe_b.astype(jnp.int32),
+        pe_meas=state.win_odo[pe_b],
+        pe_sqrt_info=pe_sqrt_info,
+        pe_valid=pe_valid,
+        pr_idx=jnp.zeros(1, jnp.int32),
+        pr_meas=jnp.broadcast_to(jnp.eye(4, dtype=f32), (1, 4, 4)),
+        pr_sqrt_info=jnp.zeros((1, 6, 6), f32),
+        pr_valid=jnp.zeros(1, bool))
+    res = ba._lm_run(problem, cfg.window_ba_iters,
+                     ba.pick_cg_iters(K, M),
+                     float(np.sqrt(ba.CHI2_THRESHOLD)), 1e-4)
+
+    # need >= 2 window frames for a meaningful solve; first group may have 1
+    run = n_valid >= 2
+    win_pose_cw = jnp.where(run & state.win_valid[:, None, None],
+                            res.poses, state.win_pose_cw)
+    pose_cw = win_pose_cw[last]
+    pt_updated = run & ~points_fixed
+    lm_pos = jnp.where(pt_updated[:, None], res.points, state.lm_pos)
+    # re-express the anchored parametrization around the BA'd position so
+    # subsequent per-frame depth refinement continues from it
+    ray = lm_pos - state.lm_anchor_origin
+    depth = jnp.linalg.norm(ray, axis=-1)
+    ok = pt_updated & (depth > 1e-6)
+    lm_depth = jnp.where(ok, depth, state.lm_depth)
+    lm_anchor_ray = jnp.where(
+        ok[:, None], ray / jnp.maximum(depth[:, None], 1e-9),
+        state.lm_anchor_ray)
+    # chi2 observation pruning (bundle_adjuster.cpp:376-388)
+    chi2 = res.obs_chi2.reshape(M, K)
+    wobs_valid = state.wobs_valid & jnp.where(
+        run, chi2 <= ba.CHI2_THRESHOLD, True)
+    return state._replace(
+        pose_cw=jnp.where(run, pose_cw, state.pose_cw),
+        prev_pose_cw=jnp.where(run, pose_cw, state.prev_pose_cw),
+        win_pose_cw=win_pose_cw, lm_pos=lm_pos, lm_depth=lm_depth,
+        lm_anchor_ray=lm_anchor_ray, wobs_valid=wobs_valid)
 
 
 def _resolve_camera(cfg: DeviceVOConfig, camera):
@@ -415,7 +541,8 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
                              lm_n_obs=lm_n_obs, lm_last_seen=lm_last_seen)
 
         (lm_pos, lm_desc, lm_valid, lm_last_seen, lm_anchor_origin,
-         lm_anchor_ray, lm_depth, lm_n_obs, assigned) = _create_landmarks(
+         lm_anchor_ray, lm_depth, lm_n_obs, assigned, new_slot,
+         new_meas_cur, new_meas_prev) = _create_landmarks(
             mid, pose_cw, pts, desc, free_cur, cam_kind, cam_params, cfg)
         n_new = jnp.sum(assigned)
         # creation-claimed features are no longer free: without this, a
@@ -428,13 +555,41 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
         lm_valid = lm_valid & ((state.frame_idx - lm_last_seen)
                                <= cfg.stale_age)
 
+        # --- sliding-window bookkeeping for the device-resident local BA
+        win_pose_cw, win_valid, win_odo = (state.win_pose_cw,
+                                           state.win_valid, state.win_odo)
+        wobs_meas, wobs_valid = state.wobs_meas, state.wobs_valid
+        if cfg.window > 0:
+            K = cfg.window
+            head = jnp.mod(state.frame_idx, K)
+            prev_col = jnp.mod(state.frame_idx - 1, K)
+            win_pose_cw = win_pose_cw.at[head].set(pose_cw)
+            win_valid = win_valid.at[head].set(True)
+            win_odo = win_odo.at[head].set(odom_delta)
+            # the ring slot is recycled: clear its column, then record this
+            # frame's re-observations (meas is per-landmark row)
+            wobs_valid = wobs_valid.at[:, head].set(matched & lm_valid)
+            wobs_meas = wobs_meas.at[:, head].set(meas)
+            # fresh landmarks: clear any stale rows of the recycled slots,
+            # then record both creation observations (cur + prev frame)
+            wobs_valid = wobs_valid.at[new_slot, :].set(False, mode="drop")
+            wobs_meas = wobs_meas.at[new_slot, head].set(new_meas_cur,
+                                                         mode="drop")
+            wobs_valid = wobs_valid.at[new_slot, head].set(True, mode="drop")
+            wobs_meas = wobs_meas.at[new_slot, prev_col].set(new_meas_prev,
+                                                             mode="drop")
+            wobs_valid = wobs_valid.at[new_slot, prev_col].set(
+                state.frame_idx > 0, mode="drop")
+
         new_state = VOState(
             pose_cw=pose_cw, lm_pos=lm_pos, lm_desc=lm_desc,
             lm_valid=lm_valid, lm_last_seen=lm_last_seen,
             lm_anchor_origin=lm_anchor_origin, lm_anchor_ray=lm_anchor_ray,
             lm_depth=lm_depth, lm_n_obs=lm_n_obs,
             prev_pts=pts, prev_desc=desc, prev_free=free_cur,
-            prev_pose_cw=pose_cw, frame_idx=state.frame_idx + 1)
+            prev_pose_cw=pose_cw, frame_idx=state.frame_idx + 1,
+            win_pose_cw=win_pose_cw, win_valid=win_valid, win_odo=win_odo,
+            wobs_meas=wobs_meas, wobs_valid=wobs_valid)
         return new_state, VOStepOut(pose_cw=pose_cw,
                                     n_matched=jnp.sum(matched),
                                     n_new=n_new)
@@ -445,6 +600,7 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
 def init_state(cfg: DeviceVOConfig, num_slots: int,
                pose0_cw: Optional[np.ndarray] = None) -> VOState:
     M = cfg.lm_capacity
+    K_win = max(cfg.window, 1)
     pose0 = np.eye(4, dtype=np.float32) if pose0_cw is None else \
         np.asarray(pose0_cw, np.float32)
     return VOState(
@@ -461,7 +617,14 @@ def init_state(cfg: DeviceVOConfig, num_slots: int,
         prev_desc=jnp.zeros((num_slots, 8), jnp.uint32),
         prev_free=jnp.zeros(num_slots, bool),
         prev_pose_cw=jnp.asarray(pose0),
-        frame_idx=jnp.asarray(0, jnp.int32))
+        frame_idx=jnp.asarray(0, jnp.int32),
+        win_pose_cw=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                     (K_win, 4, 4)),
+        win_valid=jnp.zeros(K_win, bool),
+        win_odo=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                 (K_win, 4, 4)),
+        wobs_meas=jnp.zeros((M, K_win, 2), jnp.float32),
+        wobs_valid=jnp.zeros((M, K_win), bool))
 
 
 # Compiled scan-over-frames programs keyed by everything that shapes the
@@ -505,15 +668,40 @@ class BatchedDeviceVO:
         budgets = spec[1]
         self.num_slots = 8 + sum(budgets)
 
+        if cfg.window:
+            assert cfg.window >= 2, "window needs >= 2 frames"
+            assert cfg.window_ba_every >= 1
         cam_kind, cam_params_np = camera_jax.pack_camera(camera)
         key = (cfg, spec, cam_kind,
                np.asarray(cam_params_np, np.float32).tobytes())
         fn = _CHUNK_CACHE.get(key)
         if fn is None:
             step, _ = make_vo_step(cfg, camera=camera, settings=settings)
+            focal = float(cam_params_np[0])
 
             def chunk(state, images, odom_deltas):
-                return jax.lax.scan(step, state, (images, odom_deltas))
+                if cfg.window <= 0:
+                    return jax.lax.scan(step, state, (images, odom_deltas))
+                # scan over frame GROUPS: `window_ba_every` pose-only frames,
+                # then one device-resident window BA. The cadence must be a
+                # static schedule — under vmap a traced lax.cond lowers to
+                # select, which would execute the solve every frame.
+                G = cfg.window_ba_every
+                T = images.shape[0]
+                assert T % G == 0, (
+                    f"chunk length {T} not divisible by window_ba_every={G}")
+
+                def group(st, grp):
+                    st, outs = jax.lax.scan(step, st, grp)
+                    return _window_ba(st, cfg, focal), outs
+
+                grp_in = jax.tree.map(
+                    lambda x: x.reshape((T // G, G) + x.shape[1:]),
+                    (images, odom_deltas))
+                st, outs = jax.lax.scan(group, state, grp_in)
+                outs = jax.tree.map(
+                    lambda x: x.reshape((T,) + x.shape[2:]), outs)
+                return st, outs
 
             fn = jax.jit(jax.vmap(chunk))
             _CHUNK_CACHE[key] = fn

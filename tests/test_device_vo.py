@@ -166,21 +166,7 @@ class TestBatchedDeviceVO:
         world = make_world(n_frames=T, n_landmarks=600, seed=4,
                            trajectory="line", camera=cam)
         frames = _render_frames(world, T, seed=1)
-        rng = np.random.default_rng(5)
-
-        deltas = [np.eye(4, dtype=np.float32)]
-        noisy_chain = [world.poses_cw[0].astype(np.float32)]
-        drift = np.zeros(3)
-        for i in range(1, T):
-            true_delta = (world.poses_cw[i]
-                          @ np.linalg.inv(world.poses_cw[i - 1]))
-            drift = drift + rng.normal(0, 4e-3, 3)
-            xi = np.concatenate([rng.normal(0, 5e-4, 3),
-                                 rng.normal(0, 1e-3, 3) + drift])
-            nd = (se3.se3_exp(xi) @ true_delta).astype(np.float32)
-            deltas.append(nd)
-            noisy_chain.append((nd @ noisy_chain[-1]).astype(np.float32))
-        deltas = np.stack(deltas)
+        deltas, noisy_chain = _drifting_deltas(world, T)
 
         cfg = DeviceVOConfig(width=320, height=240, lm_capacity=512,
                              max_keypoints=300)
@@ -191,14 +177,81 @@ class TestBatchedDeviceVO:
         out = vo.advance(frames[None], deltas[None])
         poses = np.asarray(out.pose_cw)[0]
 
-        vo_err = np.mean([np.linalg.norm(
-            se3.camera_center(poses[i])
-            - se3.camera_center(world.poses_cw[i])) for i in range(4, T)])
-        odo_err = np.mean([np.linalg.norm(
-            se3.camera_center(noisy_chain[i])
-            - se3.camera_center(world.poses_cw[i])) for i in range(4, T)])
+        vo_err = _mean_center_err(poses, world)
+        odo_err = _mean_center_err(np.stack(noisy_chain), world)
         assert np.isfinite(poses).all()
         assert vo_err < odo_err, (vo_err, odo_err)
         # the injected drift reaches ~2cm/frame by the end of the sequence;
         # VO must hold the mean error well under the odometry chain's
         assert vo_err < 0.15, vo_err
+
+
+def _drifting_deltas(world, T, seed=5):
+    """Odometry delta chain with a random-walk translation drift (and the
+    resulting integrated noisy pose chain, for the comparison baseline)."""
+    rng = np.random.default_rng(seed)
+    deltas = [np.eye(4, dtype=np.float32)]
+    noisy_chain = [world.poses_cw[0].astype(np.float32)]
+    drift = np.zeros(3)
+    for i in range(1, T):
+        true_delta = (world.poses_cw[i]
+                      @ np.linalg.inv(world.poses_cw[i - 1]))
+        drift = drift + rng.normal(0, 4e-3, 3)
+        xi = np.concatenate([rng.normal(0, 5e-4, 3),
+                             rng.normal(0, 1e-3, 3) + drift])
+        nd = (se3.se3_exp(xi) @ true_delta).astype(np.float32)
+        deltas.append(nd)
+        noisy_chain.append((nd @ noisy_chain[-1]).astype(np.float32))
+    return np.stack(deltas), noisy_chain
+
+
+def _mean_center_err(poses, world, skip=4):
+    return np.mean([np.linalg.norm(
+        se3.camera_center(poses[i]) - se3.camera_center(world.poses_cw[i]))
+        for i in range(skip, len(poses))])
+
+
+@pytest.mark.slow
+class TestWindowBA:
+    def test_window_ba_beats_pose_only_on_drift(self):
+        """The device-resident sliding-window local BA (joint pose +
+        landmark LM inside the scanned program) must track the drifting
+        sequence more accurately than the pose-only VO core, and its window
+        state must stay consistent across the ring wrap-around."""
+        T = 20
+        cam = default_camera(320, 240)
+        world = make_world(n_frames=T, n_landmarks=600, seed=4,
+                           trajectory="line", camera=cam)
+        frames = _render_frames(world, T, seed=1)
+        deltas, _ = _drifting_deltas(world, T)
+        base = DeviceVOConfig(width=320, height=240, lm_capacity=512,
+                              max_keypoints=300)
+        p0 = world.poses_cw[0].astype(np.float32)[None]
+
+        def run(cfg):
+            vo = BatchedDeviceVO(cfg, batch=1, camera=cam)
+            vo.state = vo.state._replace(pose_cw=p0, prev_pose_cw=p0)
+            out = vo.advance(frames[None], deltas[None])
+            return np.asarray(out.pose_cw)[0], vo.state
+
+        poses_po, _ = run(base)
+        poses_wb, state = run(base._replace(window=8, window_ba_every=4,
+                                            window_ba_iters=3))
+
+        assert np.isfinite(poses_wb).all()
+        err_po = _mean_center_err(poses_po, world)
+        err_wb = _mean_center_err(poses_wb, world)
+        # measured: 0.072 (window BA) vs 0.119 (pose-only); margin for noise
+        assert err_wb < err_po, (err_wb, err_po)
+        assert err_wb < 0.10, err_wb
+
+        # window-state invariants after T=20 frames through a K=8 ring:
+        # every slot occupied, poses finite, and the observation store only
+        # carries entries for live landmarks with finite measurements
+        win_valid = np.asarray(state.win_valid)[0]
+        assert win_valid.all(), win_valid
+        assert np.isfinite(np.asarray(state.win_pose_cw)).all()
+        wobs_valid = np.asarray(state.wobs_valid)[0]
+        wobs_meas = np.asarray(state.wobs_meas)[0]
+        assert wobs_valid.sum() > 0
+        assert np.isfinite(wobs_meas[wobs_valid]).all()

@@ -34,7 +34,7 @@ from slam_tpu.geometry import se3
 
 
 def run(n_frames=120, n_sequences=2, drift=0.0015, chunk=8, seed=0,
-        progress=True):
+        progress=True, window=0, window_ba_every=4):
     import jax
     from slam_tpu.pipeline.device_vo import BatchedDeviceVO, DeviceVOConfig
 
@@ -76,7 +76,8 @@ def run(n_frames=120, n_sequences=2, drift=0.0015, chunk=8, seed=0,
     # at drift sigma=0.008)
     cfg = DeviceVOConfig(width=CAM.width, height=CAM.height,
                          lm_capacity=512, max_keypoints=600,
-                         stale_age=n_frames, max_depth_step=0.0)
+                         stale_age=n_frames, max_depth_step=0.0,
+                         window=window, window_ba_every=window_ba_every)
     vo = BatchedDeviceVO(cfg, batch=n_sequences, camera=CAM)
     p0 = np.stack([s[0][0] for s in seqs]).astype(np.float32)
     vo.reset(poses0_cw=p0)
@@ -109,6 +110,7 @@ def run(n_frames=120, n_sequences=2, drift=0.0015, chunk=8, seed=0,
 
     return {
         "frames": n_frames, "sequences": n_sequences, "drift": drift,
+        "window": window,
         "per_sequence": per_seq,
         "ate_vo_m_mean": float(np.mean([x["ate_vo_m"] for x in per_seq])),
         "ate_odometry_m_mean": float(np.mean([x["ate_odometry_m"]
@@ -125,6 +127,10 @@ def main():
     ap.add_argument("--drift", type=float, default=0.0015)
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--window", type=int, default=0,
+                    help="sliding-window size for the device-resident local"
+                         " BA (0 = pose-only VO)")
+    ap.add_argument("--window-ba-every", type=int, default=4)
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (ATE is platform-independent;"
                          " post-import config update per CLAUDE.md)")
@@ -133,7 +139,8 @@ def main():
         import jax
         jax.config.update("jax_platforms", "cpu")
     res = run(n_frames=args.frames, n_sequences=args.sequences,
-              drift=args.drift, chunk=args.chunk, seed=args.seed)
+              drift=args.drift, chunk=args.chunk, seed=args.seed,
+              window=args.window, window_ba_every=args.window_ba_every)
     print(json.dumps(res))
 
 
