@@ -137,6 +137,17 @@ class DeviceVOConfig(NamedTuple):
     window: int = 0
     window_ba_every: int = 4
     window_ba_iters: int = 3
+    # free landmark positions in the window solve. True = full joint BA
+    # (best on distinctive textures: the dot-world drift scenario improves
+    # 0.119 -> 0.072 m). False = poses-only multi-frame smoothing: on
+    # ambiguous/repeating textures joint optimization feeds wrong-match
+    # error back into the map (the failure mode the frozen-map preset of
+    # run_device_vo_euroc guards against), so the map stays read-only and
+    # only the pose window is re-estimated.
+    window_free_points: bool = True
+    # weight window reprojection terms by landmark maturity (same ramp as
+    # the pose-only BA) instead of uniformly
+    window_maturity_weight: bool = False
 
 
 def _frontend_spec(settings: StaticSettings, width: int, height: int):
@@ -420,8 +431,15 @@ def _window_ba(state: VOState, cfg: DeviceVOConfig, focal: float) -> VOState:
     # landmarks need >= 2 window observations to be a free vertex
     # (minObservationsForBA semantics); others stay fixed anchors
     points_fixed = ~state.lm_valid | (nobs_win < 2)
+    if not cfg.window_free_points:
+        points_fixed = jnp.ones_like(points_fixed)
     obs_mp = jnp.repeat(jnp.arange(M, dtype=jnp.int32), K)
     obs_kf = jnp.tile(jnp.arange(K, dtype=jnp.int32), M)
+    obs_w = jnp.full((M,), focal, f32)
+    if cfg.window_maturity_weight:
+        obs_w = obs_w * jnp.clip(
+            (state.lm_n_obs.astype(f32) - 1.0) / cfg.maturity_ramp,
+            cfg.maturity_floor, 1.0)
 
     problem = ba.BAProblem(
         poses=state.win_pose_cw.astype(f32),
@@ -430,7 +448,7 @@ def _window_ba(state: VOState, cfg: DeviceVOConfig, focal: float) -> VOState:
         points_fixed=points_fixed,
         obs_kf=obs_kf, obs_mp=obs_mp,
         obs_meas=state.wobs_meas.reshape(M * K, 2),
-        obs_sqrt_info=jnp.full((M * K,), focal, f32),
+        obs_sqrt_info=jnp.repeat(obs_w, K),
         obs_valid=obs_valid.reshape(M * K),
         pe_a=pe_a.astype(jnp.int32), pe_b=pe_b.astype(jnp.int32),
         pe_meas=state.win_odo[pe_b],
@@ -732,3 +750,29 @@ class BatchedDeviceVO:
         self.state, out = self._chunk(self.state, self._put(images),
                                       self._put(odom_deltas))
         return out
+
+    def save_state(self, path: str) -> None:
+        """Checkpoint the device-resident session state to an ``.npz``
+        (map save analogue, mapper.cpp:504-512, for the serving path; the
+        compiled program is NOT part of the checkpoint — a fresh session
+        reuses the module-level program cache)."""
+        host = jax.device_get(self.state)
+        np.savez_compressed(path, **{f: np.asarray(v)
+                                     for f, v in zip(VOState._fields, host)})
+
+    def load_state(self, path: str) -> None:
+        """Resume a session from :meth:`save_state` output. The checkpoint
+        must match this instance's (cfg, batch) capacities."""
+        with np.load(path) as z:
+            leaves = [z[f] for f in VOState._fields]
+        for cur, new, name in zip(jax.tree.leaves(self.state), leaves,
+                                  VOState._fields):
+            assert tuple(cur.shape) == tuple(new.shape), (
+                f"checkpoint field {name}: shape {new.shape} != "
+                f"session capacity {cur.shape}")
+        state = VOState(*leaves)
+        if self._sharding is not None:
+            state = jax.device_put(state, self._sharding)
+        else:
+            state = jax.tree.map(jnp.asarray, state)
+        self.state = state

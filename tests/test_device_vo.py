@@ -101,6 +101,34 @@ class TestCompiledProgramCache:
                             camera=cam)
         assert c._chunk is not a._chunk
 
+    def test_save_load_state_roundtrip(self, tmp_path):
+        """Checkpoint/resume of a device-resident session: a resumed session
+        must continue EXACTLY like the original (bit-equal poses)."""
+        cam = default_camera(320, 240)
+        cfg = DeviceVOConfig(width=320, height=240, lm_capacity=64,
+                             max_keypoints=100)
+        rng = np.random.default_rng(7)
+        imgs = rng.integers(0, 256, (2, 2, 240, 320)).astype(np.uint8)
+        deltas = np.broadcast_to(np.eye(4, dtype=np.float32),
+                                 (2, 2, 4, 4)).copy()
+
+        vo = BatchedDeviceVO(cfg, batch=2, camera=cam)
+        vo.advance(imgs, deltas)
+        path = str(tmp_path / "vo_state.npz")
+        vo.save_state(path)
+        cont = np.asarray(vo.advance(imgs, deltas).pose_cw)
+
+        vo2 = BatchedDeviceVO(cfg, batch=2, camera=cam)
+        vo2.load_state(path)
+        resumed = np.asarray(vo2.advance(imgs, deltas).pose_cw)
+        np.testing.assert_array_equal(resumed, cont)
+
+        # capacity mismatch must be rejected, not silently truncated
+        vo3 = BatchedDeviceVO(cfg._replace(lm_capacity=32), batch=2,
+                              camera=cam)
+        with pytest.raises(AssertionError):
+            vo3.load_state(path)
+
     def test_reset_restores_initial_state(self):
         cam = default_camera(320, 240)
         cfg = DeviceVOConfig(width=320, height=240, lm_capacity=64,
