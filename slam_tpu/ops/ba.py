@@ -168,6 +168,20 @@ def _total_cost(poses, points, p: BAProblem, huber_delta):
 
 def _lm_run(p: BAProblem, iterations: int, cg_iters: int,
             huber_delta: float, init_lambda: float) -> BAResult:
+    # TPU: the default matmul precision runs f32 contractions as bf16
+    # passes (~3 decimal digits). The LM normal equations, Schur solves and
+    # pose-chain products amplify that rounding into pose errors large
+    # enough to destabilize the VIO feedback loop (measured: the device-VO
+    # pose chain wanders 0.45 m at drift=0 on the EuRoC-class scene, while
+    # the identical program on the f32 CPU backend stays at 0.05 m). These
+    # solves are latency-bound, not FLOP-bound, so full-f32 passes are
+    # effectively free — pin every contraction traced inside to HIGHEST.
+    with jax.default_matmul_precision("highest"):
+        return _lm_run_impl(p, iterations, cg_iters, huber_delta, init_lambda)
+
+
+def _lm_run_impl(p: BAProblem, iterations: int, cg_iters: int,
+                 huber_delta: float, init_lambda: float) -> BAResult:
     K = p.poses.shape[0]
     M = p.points.shape[0]
 

@@ -58,19 +58,34 @@ def hamming_matrix_popcount(desc1: jnp.ndarray, desc2: jnp.ndarray) -> jnp.ndarr
 MASK_DIST = 10_000  # sentinel distance for gated-out pairs (> any Hamming)
 
 
-def mutual_nn(dist: jnp.ndarray, thr: int):
+def mutual_nn(dist: jnp.ndarray, thr: int, ratio: float = 1.0):
     """Mutual-nearest selection over a gated (A, B) distance matrix.
 
     The shared device-side acceptance rule of the batched matchers
     (multichip pair matching, device-VO map matching and landmark
     creation): per-row nearest neighbor, mutual-consistency check, and an
     absolute distance threshold. Gated-out pairs must carry ``MASK_DIST``.
+
+    ``ratio < 1`` adds the Lowe second-best test (best < ratio * second,
+    the reference's loopClosureFeatureMatchLoweRatio gate,
+    keyframe_matcher.cpp:50-158): on repeating textures a near-tie between
+    candidates means the association is ambiguous and must be dropped — a
+    wrong match accepted here poisons multi-frame observation stores for
+    the whole window. Rows with no second candidate (second = MASK_DIST)
+    pass, like the reference's empty-bucket case.
+
     Returns (nn_ab (A,) int, ok (A,) bool)."""
     nn_ab = jnp.argmin(dist, axis=1)
     nn_ba = jnp.argmin(dist, axis=0)
     d_best = jnp.min(dist, axis=1)
     mutual = nn_ba[nn_ab] == jnp.arange(dist.shape[0])
-    return nn_ab, mutual & (d_best <= thr)
+    ok = mutual & (d_best <= thr)
+    if ratio < 1.0:
+        neg2, _ = jax.lax.top_k(-dist, 2)           # two smallest distances
+        d_second = -neg2[:, 1]
+        ok = ok & (d_best.astype(jnp.float32)
+                   < ratio * d_second.astype(jnp.float32))
+    return nn_ab, ok
 
 
 def hamming_distance(d1: np.ndarray, d2: np.ndarray) -> np.ndarray:

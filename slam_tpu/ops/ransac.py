@@ -154,9 +154,13 @@ def _sim3_ransac_impl(seed, pts1, pts2, valid, repro1, repro2, vis1, vis2,
                       chi1, chi2, params1, params2,
                       kind1, kind2, dof, fix_scale, iterations):
     keys = jax.random.split(jax.random.PRNGKey(seed), iterations)
-    return _sim3_ransac_core(keys, pts1, pts2, valid, repro1, repro2,
-                             vis1, vis2, chi1, chi2, params1, params2,
-                             kind1, kind2, dof, fix_scale)
+    # Horn solves + inlier reprojection are tiny-matrix geometry: pin to
+    # full-f32 passes (the TPU default's bf16 passes corrupt pose-scale
+    # results; see ops/ba._lm_run)
+    with jax.default_matmul_precision("highest"):
+        return _sim3_ransac_core(keys, pts1, pts2, valid, repro1, repro2,
+                                 vis1, vis2, chi1, chi2, params1, params2,
+                                 kind1, kind2, dof, fix_scale)
 
 
 class Sim3Ransac:
@@ -264,7 +268,8 @@ def _essential_ransac_core(keys, b1, b2, valid):
 @functools.partial(jax.jit, static_argnames=("iterations",))
 def _essential_ransac_impl(seed, b1, b2, valid, iterations):
     keys = jax.random.split(jax.random.PRNGKey(seed), iterations)
-    return _essential_ransac_core(keys, b1, b2, valid)
+    with jax.default_matmul_precision("highest"):  # see _sim3_ransac_impl
+        return _essential_ransac_core(keys, b1, b2, valid)
 
 
 def decompose_E_jax(E_21):

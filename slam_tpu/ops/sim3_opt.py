@@ -52,6 +52,13 @@ def _residuals(delta, R, t, s, pts1, pts2, obs1, obs2, w1, w2, valid):
 @functools.partial(jax.jit, static_argnames=("iterations", "fix_scale"))
 def _optimize_impl(R0, t0, s0, pts1, pts2, obs1, obs2, w1, w2, valid,
                    huber_delta, iterations, fix_scale):
+    with jax.default_matmul_precision("highest"):  # see ops/ba._lm_run
+        return _optimize_body(R0, t0, s0, pts1, pts2, obs1, obs2, w1, w2,
+                              valid, huber_delta, iterations, fix_scale)
+
+
+def _optimize_body(R0, t0, s0, pts1, pts2, obs1, obs2, w1, w2, valid,
+                   huber_delta, iterations, fix_scale):
     def cost_fn(R, t, s):
         r = _residuals(jnp.zeros(7, R.dtype), R, t, s,
                        pts1, pts2, obs1, obs2, w1, w2, valid)

@@ -66,7 +66,19 @@ def _mutual_match(desc_a, desc_b, valid_a, valid_b):
 
 def _pair_step(feats_a, feats_b, ess_keys, sim3_keys,
                cam_kind, cam_params, ba_capacity, ba_iterations):
-    """Full dense chain for ONE frame pair; vmapped over the batch."""
+    """Full dense chain for ONE frame pair; vmapped over the batch.
+
+    Geometry contractions (RANSAC cores, triangulation, BA) are pinned to
+    full-f32 matmul passes — the TPU default's bf16 passes corrupt
+    pose-scale results (see ops/ba._lm_run)."""
+    with jax.default_matmul_precision("highest"):
+        return _pair_step_impl(feats_a, feats_b, ess_keys, sim3_keys,
+                               cam_kind, cam_params, ba_capacity,
+                               ba_iterations)
+
+
+def _pair_step_impl(feats_a, feats_b, ess_keys, sim3_keys,
+                    cam_kind, cam_params, ba_capacity, ba_iterations):
     pts_a, valid_a, desc_a = feats_a
     pts_b, valid_b, desc_b = feats_b
 

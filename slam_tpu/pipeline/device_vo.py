@@ -148,6 +148,31 @@ class DeviceVOConfig(NamedTuple):
     # weight window reprojection terms by landmark maturity (same ramp as
     # the pose-only BA) instead of uniformly
     window_maturity_weight: bool = False
+    # Lowe second-best ratio for the mutual-NN matchers (map matching and
+    # landmark creation); 1.0 = off. The reference's
+    # loopClosureFeatureMatchLoweRatio gate: on repeating textures a
+    # near-tie means the association is ambiguous — essential when the
+    # window observation store re-asserts each match for `window` frames.
+    match_lowe_ratio: float = 1.0
+
+
+def _geom_precision(fn):
+    """Pin geometry-critical contractions to full-f32 matmul passes.
+
+    The TPU default precision computes f32 contractions as bf16 passes;
+    pose products, triangulation and the LM solves amplify that rounding
+    into trajectory-scale errors (measured: 0.45 m pose wander at drift=0
+    vs 0.05 m on the f32 CPU backend — see ops/ba._lm_run). The wrapped
+    functions are latency-bound small-matrix code, so HIGHEST costs
+    nothing; the FLOP-heavy image kernels (pyramid, patch gather, integer
+    Hamming GEMM) deliberately stay at the fast default."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(*a, **kw):
+        with jax.default_matmul_precision("highest"):
+            return fn(*a, **kw)
+    return wrapped
 
 
 def _frontend_spec(settings: StaticSettings, width: int, height: int):
@@ -160,6 +185,7 @@ def _frontend_spec(settings: StaticSettings, width: int, height: int):
             0)  # retrieval quantization not needed in the VO core
 
 
+@_geom_precision
 def _match_map(state: VOState, pts, desc, feat_valid, pose_pred,
                cam_kind, cam_params, cfg: DeviceVOConfig):
     """Projection-gated mutual-nearest landmark<->feature matching
@@ -175,10 +201,12 @@ def _match_map(state: VOState, pts, desc, feat_valid, pose_pred,
             & (d2 <= cfg.match_radius_px ** 2))
     dist = jnp.where(gate, dist, jnp.int32(MASK_DIST))
     # landmark -> feature mutual-nearest with THR_LOW acceptance
-    nn_mf, matched = mutual_nn(dist, HAMMING_DIST_THR_LOW)
+    nn_mf, matched = mutual_nn(dist, HAMMING_DIST_THR_LOW,
+                               ratio=cfg.match_lowe_ratio)
     return nn_mf, matched
 
 
+@_geom_precision
 def _pose_ba(state: VOState, pose_pred, meas_xy, matched,
              cfg: DeviceVOConfig, obs_weight):
     """Pose-only bundle adjust (poseBundleAdjust semantics,
@@ -262,6 +290,7 @@ def _pose_ba(state: VOState, pose_pred, meas_xy, matched,
     return T
 
 
+@_geom_precision
 def _refine_depths(state: VOState, pose_cw, meas_xy, matched,
                    cfg: DeviceVOConfig):
     """Anchored-depth refinement from the frame's re-observations.
@@ -303,6 +332,7 @@ def _refine_depths(state: VOState, pose_cw, meas_xy, matched,
     return pos, depth, n_obs
 
 
+@_geom_precision
 def _create_landmarks(state: VOState, pose_cw, pts, desc, free_cur,
                       cam_kind, cam_params, cfg: DeviceVOConfig):
     """Two-view triangulation of fresh landmarks from map-free features of
@@ -312,7 +342,8 @@ def _create_landmarks(state: VOState, pose_cw, pts, desc, free_cur,
     dist = hamming_matrix(desc, state.prev_desc)
     gate = free_cur[:, None] & state.prev_free[None, :]
     dist = jnp.where(gate, dist, jnp.int32(MASK_DIST))
-    nn_cp, mutual = mutual_nn(dist, HAMMING_DIST_THR_LOW)
+    nn_cp, mutual = mutual_nn(dist, HAMMING_DIST_THR_LOW,
+                              ratio=cfg.match_lowe_ratio)
 
     b_cur = camera_jax.unproject(cam_kind, cam_params, pts)
     b_prev = camera_jax.unproject(cam_kind, cam_params,
@@ -390,6 +421,7 @@ def _create_landmarks(state: VOState, pose_cw, pts, desc, free_cur,
             meas_cur, meas_prev)
 
 
+@_geom_precision
 def _window_ba(state: VOState, cfg: DeviceVOConfig, focal: float) -> VOState:
     """Device-resident sliding-window local bundle adjustment.
 
@@ -435,7 +467,7 @@ def _window_ba(state: VOState, cfg: DeviceVOConfig, focal: float) -> VOState:
         points_fixed = jnp.ones_like(points_fixed)
     obs_mp = jnp.repeat(jnp.arange(M, dtype=jnp.int32), K)
     obs_kf = jnp.tile(jnp.arange(K, dtype=jnp.int32), M)
-    obs_w = jnp.full((M,), focal, f32)
+    obs_w = jnp.full((M,), focal * cfg.obs_weight_scale, f32)
     if cfg.window_maturity_weight:
         obs_w = obs_w * jnp.clip(
             (state.lm_n_obs.astype(f32) - 1.0) / cfg.maturity_ramp,
@@ -527,7 +559,11 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
         pts, octv, ang, desc, feat_valid, _ = _extract_impl(
             image.astype(jnp.float32), txy, tvalid, spec)
 
-        pose_pred = odom_delta @ state.pose_cw
+        # full-f32 pose-chain product: at the TPU default precision this
+        # 4x4 product rounds the translation at bf16 (~0.4%) EVERY frame,
+        # a mm-to-cm random walk that compounds over the sequence
+        with jax.default_matmul_precision("highest"):
+            pose_pred = odom_delta @ state.pose_cw
 
         # --- projection matching + pose-only BA
         nn_mf, matched = _match_map(state, pts, desc, feat_valid, pose_pred,

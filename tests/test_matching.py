@@ -36,6 +36,31 @@ class TestHamming:
         m = np.asarray(hamming.hamming_matrix(jnp.asarray(a), jnp.asarray(b)))
         assert m[0, 0] == 1
 
+    def test_mutual_nn_lowe_ratio(self):
+        """Lowe second-best gate of the device matchers: a near-tie between
+        candidates is an ambiguous association and must be dropped; a clear
+        winner and a single-candidate row (second = MASK_DIST) pass."""
+        M = hamming.MASK_DIST
+        dist = jnp.asarray(np.array([
+            [10, 40, M],   # clear winner: 10 < 0.8 * 40
+            [30, 33, M],   # near-tie: 30 >= 0.8 * 33 -> ambiguous
+            [20, M, M],    # single candidate: second is MASK_DIST -> passes
+        ], np.int32))
+        nn, ok = hamming.mutual_nn(dist, thr=50, ratio=0.8)
+        nn, ok = np.asarray(nn), np.asarray(ok)
+        assert nn.tolist() == [0, 0, 0]
+        # row 1 loses mutual-NN to row 0 as well; isolate the ratio effect
+        # with a matrix where mutuality holds for every row
+        dist2 = jnp.asarray(np.array([
+            [10, 40, M],
+            [M, 30, 33],
+            [M, M, 20],
+        ], np.int32))
+        _, ok_off = hamming.mutual_nn(dist2, thr=50, ratio=1.0)
+        _, ok_on = hamming.mutual_nn(dist2, thr=50, ratio=0.8)
+        assert np.asarray(ok_off).tolist() == [True, True, True]
+        assert np.asarray(ok_on).tolist() == [True, False, True]
+
 
 class TestAngleChecker:
     def test_keeps_top3_bins(self):
