@@ -85,6 +85,45 @@ class TestMeshShardedVO:
                               np.asarray(out_plain.n_matched))
 
 
+@pytest.mark.slow
+class TestMeshShardedWindowBA:
+    def test_sharded_window_ba_matches_unsharded(self):
+        """The sliding-window local-BA chunk must shard over the data mesh
+        exactly like the pose-only chunk: per-sequence window state and the
+        in-scan dense-Schur solves are batched, so GSPMD partitions them
+        with no cross-device math and results match the single-device run."""
+        import jax
+        from slam_tpu.parallel.mesh import make_mesh
+        from slam_tpu.pipeline import device_vo
+
+        cam = default_camera(160, 120)
+        cfg = DeviceVOConfig(width=160, height=120, lm_capacity=32,
+                             max_keypoints=60, ba_iterations=2,
+                             window=4, window_ba_every=2, window_ba_iters=2)
+        S, T = 8, 4
+        rng = np.random.default_rng(11)
+        images = rng.integers(0, 256, (S, T, 120, 160)).astype(np.uint8)
+        deltas = np.broadcast_to(np.eye(4, dtype=np.float32),
+                                 (S, T, 4, 4)).copy()
+
+        plain = BatchedDeviceVO(cfg, batch=S, camera=cam)
+        out_plain = jax.tree.map(np.asarray, plain.advance(images, deltas))
+        state_plain = jax.device_get(plain.state)
+
+        jax.clear_caches()
+        device_vo._CHUNK_CACHE.clear()
+        mesh = make_mesh(8, axis_names=("data",))
+        sharded = BatchedDeviceVO(cfg, batch=S, camera=cam, mesh=mesh)
+        assert len(sharded.state.pose_cw.sharding.device_set) == 8
+        out_sharded = sharded.advance(images, deltas)
+        np.testing.assert_allclose(np.asarray(out_sharded.pose_cw),
+                                   out_plain.pose_cw, rtol=1e-4, atol=1e-5)
+        state_sharded = jax.device_get(sharded.state)
+        np.testing.assert_allclose(np.asarray(state_sharded.win_pose_cw),
+                                   np.asarray(state_plain.win_pose_cw),
+                                   rtol=1e-4, atol=1e-5)
+
+
 class TestCompiledProgramCache:
     def test_instances_share_compiled_program(self):
         """A fresh session must reuse the cached jitted chunk program —
