@@ -107,15 +107,12 @@ class DeviceVOConfig(NamedTuple):
     # focal * obs_weight_scale * maturity, maturity ramping with the
     # landmark's observation count (fresh two-view landmarks carry the
     # anchor pose's error, so they must not outvote the odometry edge).
-    # Measured on the EuRoC-class room sequence (tools/run_device_vo_euroc):
-    # with the default churning map, scale 1.0 lets map error dominate on
-    # ambiguous textures (ATE 0.35 m vs odometry 0.17 m at drift
-    # sigma=0.008). For BOUNDED episodes the fix is a persistent frozen
-    # map — stale_age >= episode length and max_depth_step = 0 (ATE
-    # 0.155 m, beating the odometry input; insensitive to this scale) —
-    # which the run_device_vo_euroc tool applies. The default scale stays
-    # 1.0: on distinctive textures (unit-test dot worlds) map trust is
-    # what corrects strong odometry drift.
+    # The window BA uses focal * obs_weight_scale (joint optimization
+    # refines the landmarks themselves, so no maturity discount by
+    # default). Best accuracy on the EuRoC-class room sequence is the
+    # frozen-map preset (stale_age >= episode, max_depth_step = 0) PLUS
+    # `window=8`: ATE beats both raw odometry and pose-only VO at every
+    # measured drift level (RESULTS.md table, real-TPU runs).
     obs_weight_scale: float = 1.0
     maturity_ramp: float = 8.0
     maturity_floor: float = 0.125

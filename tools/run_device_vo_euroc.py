@@ -13,9 +13,13 @@ the interactive pipeline is held to, here achieved by projection matching
 + pose-BA against the device-resident landmark store (no loop closure:
 the VO core is the `backendOnly` analogue, mapper.cpp:406-434).
 
+`--window 8` additionally runs the device-resident sliding-window local
+BA and is the recommended configuration: it beats both the raw odometry
+input and the pose-only VO at every measured drift level (RESULTS.md).
+
 Usage:
   python tools/run_device_vo_euroc.py [--frames N] [--sequences S]
-      [--drift SIGMA] [--chunk T]
+      [--drift SIGMA] [--chunk T] [--window K]
 """
 import argparse
 import json
