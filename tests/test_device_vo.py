@@ -86,6 +86,51 @@ class TestMeshShardedVO:
 
 
 @pytest.mark.slow
+class TestFaultedOdometry:
+    def test_jump_frame_cannot_corrupt_pose_beyond_fault(self):
+        """A gross odometry jump throws the true landmarks outside the
+        20 px projection gate; only a handful of wrong descriptor matches
+        survive it. The `have_map >= 6` solve gate must reject that frame
+        (a solve on the wrong matches was measured to amplify the 1 m
+        fault to ~2.9 m), so the VO follows the faulted odometry — the
+        reference's backendOnly behavior for a bad prior; recovering from
+        faults is relocation/loop closure's job — and keeps mapping
+        consistently in the shifted frame."""
+        T = 14
+        cam = default_camera(320, 240)
+        world = make_world(n_frames=T, n_landmarks=600, seed=6,
+                           trajectory="line", camera=cam)
+        frames = _render_frames(world, T, seed=2)
+        deltas = np.stack(
+            [np.eye(4, dtype=np.float32)]
+            + [(world.poses_cw[i] @ np.linalg.inv(world.poses_cw[i - 1]))
+               .astype(np.float32) for i in range(1, T)])
+        deltas[7, 0, 3] += 1.0          # 1 m sideways jump at frame 7
+
+        cfg = DeviceVOConfig(width=320, height=240, lm_capacity=512,
+                             max_keypoints=300)
+        vo = BatchedDeviceVO(cfg, batch=1, camera=cam)
+        p0 = world.poses_cw[0].astype(np.float32)[None]
+        vo.state = vo.state._replace(pose_cw=p0, prev_pose_cw=p0)
+        out = vo.advance(frames[None], deltas[None])
+        poses = np.asarray(out.pose_cw)[0]
+        n_matched = np.asarray(out.n_matched)[0]
+
+        tail_err = np.mean([np.linalg.norm(
+            se3.camera_center(poses[i]) - se3.camera_center(world.poses_cw[i]))
+            for i in range(9, T)])
+        # the error stays at the fault magnitude — never amplified
+        assert tail_err < 1.15, tail_err
+        # pre-jump tracking was tight
+        pre_err = max(np.linalg.norm(
+            se3.camera_center(poses[i]) - se3.camera_center(world.poses_cw[i]))
+            for i in range(2, 7))
+        assert pre_err < 0.05, pre_err
+        # the VO keeps mapping in the shifted frame: matching re-engages
+        assert n_matched[10:].min() >= 9, n_matched
+
+
+@pytest.mark.slow
 class TestMeshShardedWindowBA:
     def test_sharded_window_ba_matches_unsharded(self):
         """The sliding-window local-BA chunk must shard over the data mesh
