@@ -43,20 +43,29 @@ class BowSimilar(NamedTuple):
 
 
 @functools.lru_cache(maxsize=4)
-def make_codebook(num_words: int, seed: int = _CODEBOOK_SEED) -> np.ndarray:
+def make_codebook(num_words: int, seed: int = _CODEBOOK_SEED,
+                  path: str = "") -> np.ndarray:
     """(V, 8) uint32 binary centroids.
 
-    Loads the trained vocabulary ``slam_tpu/data/vocab_<V>.npz`` when it
+    ``path`` (the reference's ``vocabularyPath`` knob, loaded at
+    bow_index.cpp:12-28) names an explicit ``.npz`` with a ``codebook``
+    array of exactly ``num_words`` 256-bit rows. When empty, loads the
+    in-tree trained vocabulary ``slam_tpu/data/vocab_<V>.npz`` when it
     exists (hierarchical binary k-means over production ORB descriptors,
     `tools/train_vocab.py` — the counterpart of the reference's offline
-    DBoW2 vocabulary file, bow_index.cpp:12-28); otherwise falls back to
-    deterministic seeded random centroids (LSH-style quantizer)."""
+    DBoW2 vocabulary file); otherwise falls back to deterministic seeded
+    random centroids (LSH-style quantizer)."""
     import os
-    path = os.path.join(os.path.dirname(__file__), "..", "data",
-                        f"vocab_{num_words}.npz")
-    if seed == _CODEBOOK_SEED and os.path.exists(path):
+    if not path:
+        default = os.path.join(os.path.dirname(__file__), "..", "data",
+                               f"vocab_{num_words}.npz")
+        if seed == _CODEBOOK_SEED and os.path.exists(default):
+            path = default
+    if path:
         vocab = np.load(path)["codebook"]
-        assert vocab.shape == (num_words, 8) and vocab.dtype == np.uint32
+        assert vocab.shape == (num_words, 8) and vocab.dtype == np.uint32, (
+            f"vocabulary at {path}: expected ({num_words}, 8) uint32, got "
+            f"{vocab.shape} {vocab.dtype} — set bowVocabularySize to match")
         return vocab
     rng = np.random.default_rng(seed)
     return rng.integers(0, 2 ** 32, size=(num_words, 8), dtype=np.uint32)
@@ -105,7 +114,8 @@ class BowIndex:
         self.num_groups = parameters.bowFeatureGroups
         assert self.num_words % self.num_groups == 0
         self._group_div = self.num_words // self.num_groups
-        self.codebook = make_codebook(self.num_words)
+        self.codebook = make_codebook(self.num_words,
+                                      path=parameters.vocabularyPath)
         # inverted index: word -> (entry rows, per-row signature weights)
         self._post_rows: Dict[int, List[int]] = {}
         self._post_weights: Dict[int, List[float]] = {}

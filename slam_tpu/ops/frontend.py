@@ -67,7 +67,8 @@ def _min_distances(settings: StaticSettings, sizes) -> List[int]:
 @functools.partial(jax.jit, static_argnames=("spec",))
 def _extract_impl(image, tracked_xy, tracked_valid, spec):
     (scale_factors, budgets, min_dists, lk_level, use_fast, width, height,
-     vocab_size) = spec
+     vocab_size) = spec[:8]
+    vocab_path = spec[8] if len(spec) > 8 else ""
     sizes, resize_ops, blur_ops = _pyramid_operators(width, height, scale_factors)
     levels, blurred = _build_pyramid_impl(image.astype(jnp.float32), resize_ops, blur_ops)
 
@@ -118,7 +119,8 @@ def _extract_impl(image, tracked_xy, tracked_valid, spec):
     if vocab_size > 0:
         from slam_tpu.ops.bow import make_codebook
         from slam_tpu.ops.hamming import unpack_bits_pm1
-        cb = unpack_bits_pm1(jnp.asarray(make_codebook(vocab_size)))
+        cb = unpack_bits_pm1(jnp.asarray(make_codebook(vocab_size,
+                                                       path=vocab_path)))
         a = unpack_bits_pm1(desc_all)
         dot = jax.lax.dot_general(a, cb, (((1,), (1,)), ((), ())),
                                   preferred_element_type=jnp.int32)
@@ -149,7 +151,8 @@ class OrbExtractor:
         use_fast = p.slamFeatureDetector.lower() == "fast"
         self._spec = (scale_factors, budgets, min_dists, int(p.orbLkTrackLevel),
                       bool(use_fast), width, height,
-                      int(getattr(p, "bowVocabularySize", 0)))
+                      int(getattr(p, "bowVocabularySize", 0)),
+                      str(getattr(p, "vocabularyPath", "")))
         self.num_slots = max_tracked + sum(budgets)
         self._pending = {}
         # device copies of the packed tracked-point buffers, reused while the

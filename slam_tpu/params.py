@@ -87,7 +87,7 @@ class ParametersSlam:
     odometryPriorSimpleUncertainty: bool = False
 
     # --- place recognition (BoW-equivalent retrieval) -----------------------
-    vocabularyPath: str = ""          # unused: trained codebook ships in-tree
+    vocabularyPath: str = ""          # "" = in-tree trained codebook; else .npz
     # 65536 words: the trained hierarchical-k-means vocabulary
     # slam_tpu/data/vocab_65536.npz (tools/train_vocab.py); sizes without a
     # trained file fall back to seeded-random LSH centroids (ops/bow.py)

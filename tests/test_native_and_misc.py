@@ -160,6 +160,28 @@ class TestBowRetrieval:
         index.remove(MapKf(CURRENT_MAP_ID, KfId(5)))
         assert len(index) == 0
 
+    def test_vocabulary_path_loads_custom_codebook(self, tmp_path):
+        """A non-empty vocabularyPath loads that vocabulary (reference:
+        bow_index.cpp:12-28) and quantize() uses it consistently."""
+        from slam_tpu.ops.bow import BowIndex, make_codebook, quantize
+        from slam_tpu.params import ParametersSlam
+
+        V = 1024
+        vocab = rng.integers(0, 2**32, (V, 8), dtype=np.uint32)
+        path = str(tmp_path / "custom_vocab.npz")
+        np.savez(path, codebook=vocab)
+        p = ParametersSlam(bowVocabularySize=V, vocabularyPath=path)
+        index = BowIndex(p)
+        assert np.array_equal(index.codebook, vocab)
+        assert not np.array_equal(index.codebook, make_codebook(V))
+        # exact-centroid descriptors quantize to their own word ids
+        words = quantize(vocab[:16], index.codebook)
+        assert np.array_equal(words, np.arange(16))
+        # size mismatch is a loud failure, not silent truncation
+        import pytest
+        with pytest.raises(AssertionError):
+            make_codebook(V // 2, path=path)
+
     def test_compaction_preserves_results(self):
         """Tombstoned rows must never surface, and the periodic postings
         compaction must not change retrieval results."""
