@@ -280,7 +280,7 @@ def bench_aggregate(n_sessions=4, n_frames=30):
 
 
 def bench_device_vo(n_sequences=4, chunk=8, n_chunks=6, width=640, height=480,
-                    window=0):
+                    window=0, loop_every=0):
     """Device-resident batched VO throughput (slam_tpu/pipeline/device_vo.py):
     S sequences x T frames per dispatch, map state in HBM between dispatches,
     zero per-frame host work. Dispatches chain asynchronously; only the final
@@ -288,7 +288,9 @@ def bench_device_vo(n_sequences=4, chunk=8, n_chunks=6, width=640, height=480,
 
     ``window > 0`` additionally runs the device-resident sliding-window
     local BA (joint pose+landmark LM, `device_vo._window_ba`) every 4 frames
-    inside the scanned program — the full local-BA backend on device."""
+    inside the scanned program — the full local-BA backend on device.
+    ``loop_every > 0`` additionally runs in-scan loop-candidate retrieval
+    (signature ring + Hamming MXU GEMM against the trained vocabulary)."""
     import jax
     from slam_tpu.pipeline.device_vo import BatchedDeviceVO, DeviceVOConfig
 
@@ -313,7 +315,8 @@ def bench_device_vo(n_sequences=4, chunk=8, n_chunks=6, width=640, height=480,
 
     cfg = DeviceVOConfig(width=width, height=height, lm_capacity=512,
                          max_keypoints=600, window=window,
-                         window_ba_every=min(4, chunk))
+                         window_ba_every=min(4, chunk),
+                         loop_every=loop_every)
     vo = BatchedDeviceVO(cfg, batch=n_sequences, camera=cam)
     # warmup chunk: compiles the scan program
     out = vo.advance(images[:, :chunk], deltas[:, :chunk])
@@ -449,9 +452,10 @@ def main():
         if vo8 is not None and (device_vo_fps is None or vo8 > device_vo_fps):
             device_vo_fps = vo8
         # same backend WITH the device-resident sliding-window local BA
-        # (joint pose+landmark LM every 4 frames inside the scan)
+        # (joint pose+landmark LM every 4 frames inside the scan) AND
+        # in-scan loop-candidate retrieval — the full device-SLAM backend
         device_slam_fps = _guard(errors, "device_slam", bench_device_vo,
-                                 window=8)
+                                 window=8, loop_every=4)
         pipe = _guard(errors, "pipeline", bench_pipeline)
         agg_sessions = 4
         agg_fps = _guard(errors, "aggregate", bench_aggregate,

@@ -78,12 +78,18 @@ class VOState(NamedTuple):
     win_odo: jnp.ndarray        # (K, 4, 4) odometry delta prev->this frame
     wobs_meas: jnp.ndarray      # (M, K, 2) normalized-camera measurements
     wobs_valid: jnp.ndarray     # (M, K) observation validity
+    # --- loop-candidate signature ring (capacity 1 when detection is off)
+    sig_ring: jnp.ndarray       # (R, W) L2-normalized word histograms
+    sig_frame: jnp.ndarray      # (R,) frame index of each signature, -1=empty
 
 
 class VOStepOut(NamedTuple):
     pose_cw: jnp.ndarray        # (4, 4) optimized pose for the frame
     n_matched: jnp.ndarray      # () matched landmarks used by pose BA
     n_new: jnp.ndarray          # () landmarks inserted this frame
+    loop_frame: jnp.ndarray     # () int32 best time-gated revisit candidate
+    #                                frame index, -1 = none above the gate
+    loop_score: jnp.ndarray     # () f32 cosine retrieval score of that frame
 
 
 class DeviceVOConfig(NamedTuple):
@@ -151,6 +157,26 @@ class DeviceVOConfig(NamedTuple):
     # near-tie means the association is ambiguous — essential when the
     # window observation store re-asserts each match for `window` frames.
     match_lowe_ratio: float = 1.0
+    # Device-resident loop-candidate detection: the serving-path analogue
+    # of the BoW index (reference: bow_index.cpp:59-176 getBowSimilar +
+    # the too-close-in-time fast rejection, loop_closer.cpp:164-187),
+    # run entirely inside the jitted scan. Every `loop_every` frames the
+    # frame's L2-normalized word histogram — words quantized against a
+    # `loop_words`-row stride of the trained retrieval vocabulary with ONE
+    # Hamming MXU GEMM — is stored into an R-slot signature ring; EVERY
+    # frame queries the ring with one GEMV and reports the best candidate
+    # at least `loop_min_gap` frames in the past. The host consumes
+    # (loop_frame, loop_score) per chunk and runs the full geometric
+    # verification + closure stack (Sim3 RANSAC -> refinement -> correct)
+    # on flagged pairs only. 0 = off (ring kept at capacity 1, untouched).
+    loop_every: int = 0
+    loop_slots: int = 64
+    loop_words: int = 512
+    loop_min_gap: int = 30
+    # score gate: below it loop_frame reports -1. Conservative default —
+    # callers should calibrate on their texture regime (the bowScoreRatio
+    # analogue is host-side, relative scoring needs the candidate set).
+    loop_min_score: float = 0.0
 
 
 def _geom_precision(fn):
@@ -183,6 +209,22 @@ def _frontend_spec(settings: StaticSettings, width: int, height: int):
 
 
 @_geom_precision
+def _loop_codebook(num_words: int) -> np.ndarray:
+    """(W, 8) uint32 retrieval codebook for the device loop detector.
+
+    A uniform stride over the trained 65,536-word hierarchical vocabulary
+    (`ops/bow.make_codebook`; tools/train_vocab.py): the vocabulary is
+    sorted so the top bits are the tree group, hence striding samples every
+    descriptor-space region evenly — a coarse level of the same tree the
+    host BowIndex quantizes against (reference: bow_index.cpp:59-93 uses
+    tree levelsUp for the same coarse/fine split)."""
+    from slam_tpu.ops.bow import make_codebook
+
+    base = make_codebook(65536)
+    stride = max(1, len(base) // num_words)
+    return np.ascontiguousarray(base[::stride][:num_words])
+
+
 def _match_map(state: VOState, pts, desc, feat_valid, pose_pred,
                cam_kind, cam_params, cfg: DeviceVOConfig):
     """Projection-gated mutual-nearest landmark<->feature matching
@@ -548,6 +590,8 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
     cam_params = jnp.asarray(cam_params_np)
     focal = float(cam_params_np[0])
     n_tracked = 8
+    loop_cb = (jnp.asarray(_loop_codebook(cfg.loop_words))
+               if cfg.loop_every > 0 else None)
 
     def step(state: VOState, frame_in):
         image, odom_delta = frame_in
@@ -632,6 +676,42 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
             wobs_valid = wobs_valid.at[new_slot, prev_col].set(
                 state.frame_idx > 0, mode="drop")
 
+        # --- device-resident loop-candidate retrieval (BoW-index analogue)
+        sig_ring, sig_frame = state.sig_ring, state.sig_frame
+        loop_frame = jnp.asarray(-1, jnp.int32)
+        loop_score = jnp.asarray(0.0, jnp.float32)
+        if cfg.loop_every > 0:
+            # quantize this frame's descriptors against the coarse trained
+            # vocabulary: one (N, 256) x (256, W) int8 MXU GEMM + argmin
+            words = jnp.argmin(hamming_matrix(desc, loop_cb), axis=1)
+            hist = jnp.zeros(cfg.loop_words, jnp.float32).at[words].add(
+                feat_valid.astype(jnp.float32))
+            # sqrt damps word burstiness (repeated texture -> one hot word
+            # dominating every frame's histogram and inflating all scores);
+            # the host BowIndex gets the same effect from its much finer
+            # 65,536-word quantization
+            hist = jnp.sqrt(hist)
+            sig = hist / jnp.maximum(jnp.linalg.norm(hist), 1e-6)
+            # query the ring BEFORE storing: candidates must be at least
+            # loop_min_gap frames old (too-close-in-time fast rejection,
+            # loop_closer.cpp:164-187)
+            scores = sig_ring @ sig
+            eligible = ((sig_frame >= 0)
+                        & (state.frame_idx - sig_frame >= cfg.loop_min_gap))
+            scores = jnp.where(eligible, scores, -1.0)
+            best = jnp.argmax(scores)
+            loop_score = scores[best]
+            loop_frame = jnp.where(loop_score >= cfg.loop_min_score,
+                                   sig_frame[best], -1).astype(jnp.int32)
+            # store at the static cadence (select, not cond: under vmap a
+            # cond lowers to select anyway — the write is cheap)
+            store = jnp.mod(state.frame_idx, cfg.loop_every) == 0
+            slot = jnp.mod(state.frame_idx // cfg.loop_every, cfg.loop_slots)
+            sig_ring = sig_ring.at[slot].set(
+                jnp.where(store, sig, sig_ring[slot]))
+            sig_frame = sig_frame.at[slot].set(
+                jnp.where(store, state.frame_idx, sig_frame[slot]))
+
         new_state = VOState(
             pose_cw=pose_cw, lm_pos=lm_pos, lm_desc=lm_desc,
             lm_valid=lm_valid, lm_last_seen=lm_last_seen,
@@ -640,18 +720,43 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
             prev_pts=pts, prev_desc=desc, prev_free=free_cur,
             prev_pose_cw=pose_cw, frame_idx=state.frame_idx + 1,
             win_pose_cw=win_pose_cw, win_valid=win_valid, win_odo=win_odo,
-            wobs_meas=wobs_meas, wobs_valid=wobs_valid)
+            wobs_meas=wobs_meas, wobs_valid=wobs_valid,
+            sig_ring=sig_ring, sig_frame=sig_frame)
         return new_state, VOStepOut(pose_cw=pose_cw,
                                     n_matched=jnp.sum(matched),
-                                    n_new=n_new)
+                                    n_new=n_new,
+                                    loop_frame=loop_frame,
+                                    loop_score=loop_score)
 
     return step, spec
+
+
+def loop_candidates(out: VOStepOut, frame_offset: int = 0) -> np.ndarray:
+    """Flagged revisit pairs from one `advance` output.
+
+    Returns (N, 4) int/float rows [sequence, query_frame, candidate_frame,
+    score] for every frame whose in-scan retrieval reported a candidate
+    (loop_frame >= 0). ``frame_offset`` = index of the chunk's first frame
+    within the session (chunk c of length T -> c*T), applied to the query
+    column only — ``loop_frame`` is already session-absolute (it comes from
+    the state's signature ring). The host runs the geometric closure stack
+    (loop_closer.py: matching -> Sim3 RANSAC -> refinement -> correct) on
+    these pairs."""
+    lf = np.asarray(out.loop_frame)
+    ls = np.asarray(out.loop_score)
+    if lf.ndim == 1:               # unbatched step output
+        lf, ls = lf[None], ls[None]
+    seq, t = np.nonzero(lf >= 0)
+    return np.stack([seq.astype(np.float64), t + float(frame_offset),
+                     lf[seq, t].astype(np.float64), ls[seq, t]], axis=1)
 
 
 def init_state(cfg: DeviceVOConfig, num_slots: int,
                pose0_cw: Optional[np.ndarray] = None) -> VOState:
     M = cfg.lm_capacity
     K_win = max(cfg.window, 1)
+    R_sig = cfg.loop_slots if cfg.loop_every > 0 else 1
+    W_sig = cfg.loop_words if cfg.loop_every > 0 else 1
     pose0 = np.eye(4, dtype=np.float32) if pose0_cw is None else \
         np.asarray(pose0_cw, np.float32)
     return VOState(
@@ -675,7 +780,9 @@ def init_state(cfg: DeviceVOConfig, num_slots: int,
         win_odo=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
                                  (K_win, 4, 4)),
         wobs_meas=jnp.zeros((M, K_win, 2), jnp.float32),
-        wobs_valid=jnp.zeros((M, K_win), bool))
+        wobs_valid=jnp.zeros((M, K_win), bool),
+        sig_ring=jnp.zeros((R_sig, W_sig), jnp.float32),
+        sig_frame=jnp.full(R_sig, -1, jnp.int32))
 
 
 # Compiled scan-over-frames programs keyed by everything that shapes the
