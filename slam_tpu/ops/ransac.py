@@ -175,21 +175,39 @@ class Sim3Ransac:
     def __init__(self, camera1, camera2, pts1_cam, pts2_cam,
                  sigma_sq1, sigma_sq2):
         self.n = len(pts1_cam)
+        # Pad the match axis to a 64-bucket: the jitted core compiles per
+        # static shape, and match counts vary per closure attempt — on the
+        # tunnel every fresh shape is a ~30 s remote compile (CLAUDE.md
+        # compile-leak rule). The core masks padding via ``valid`` (zero
+        # sampling weight + excluded from inlier counts).
+        n_pad = max(64, -(-self.n // 64) * 64)
+        self.valid = np.arange(n_pad) < self.n
+
+        def _pad(a, fill=0.0):
+            a = np.asarray(a)
+            out = np.full((n_pad,) + a.shape[1:], fill, a.dtype)
+            out[:self.n] = a
+            return out
+
         self.kind1, self.params1 = camera_jax.pack_camera(camera1)
         self.kind2, self.params2 = camera_jax.pack_camera(camera2)
-        self.pts1 = np.asarray(pts1_cam, np.float32)
-        self.pts2 = np.asarray(pts2_cam, np.float32)
-        self.chi1 = (self.CHI_SQ_2D * np.asarray(sigma_sq1)).astype(np.float32)
-        self.chi2 = (self.CHI_SQ_2D * np.asarray(sigma_sq2)).astype(np.float32)
+        self.pts1 = _pad(np.asarray(pts1_cam, np.float32).reshape(self.n, 3))
+        self.pts2 = _pad(np.asarray(pts2_cam, np.float32).reshape(self.n, 3))
+        self.chi1 = _pad((self.CHI_SQ_2D
+                          * np.asarray(sigma_sq1)).astype(np.float32))
+        self.chi2 = _pad((self.CHI_SQ_2D
+                          * np.asarray(sigma_sq2)).astype(np.float32))
         # projections of each point into its own camera (loop_ransac.cpp:43-44)
-        r1, v1 = camera1.ray_to_pixel(self.pts1)
+        pts1 = self.pts1[:self.n]
+        pts2 = self.pts2[:self.n]
+        r1, v1 = camera1.ray_to_pixel(pts1)
         v1 &= camera1.is_valid_pixel(r1)
-        r2, v2 = camera2.ray_to_pixel(self.pts2)
+        r2, v2 = camera2.ray_to_pixel(pts2)
         v2 &= camera2.is_valid_pixel(r2)
-        self.repro1 = np.nan_to_num(r1).astype(np.float32)
-        self.repro2 = np.nan_to_num(r2).astype(np.float32)
-        self.vis1 = v1
-        self.vis2 = v2
+        self.repro1 = _pad(np.nan_to_num(r1).astype(np.float32))
+        self.repro2 = _pad(np.nan_to_num(r2).astype(np.float32))
+        self.vis1 = _pad(v1, fill=False)
+        self.vis2 = _pad(v2, fill=False)
 
     def solve(self, iterations: int, dof: str = "SIM3", fix_scale: bool = False,
               min_inliers: int = 20, seed: int = 94235682) -> Sim3RansacResult:
@@ -198,14 +216,14 @@ class Sim3Ransac:
                                     np.zeros(self.n, bool), 0)
         count, R12, t12, s12, inl = jax.device_get(_sim3_ransac_impl(
             np.uint32(seed), jnp.asarray(self.pts1), jnp.asarray(self.pts2),
-            jnp.ones(self.n, bool), jnp.asarray(self.repro1), jnp.asarray(self.repro2),
+            jnp.asarray(self.valid), jnp.asarray(self.repro1), jnp.asarray(self.repro2),
             jnp.asarray(self.vis1), jnp.asarray(self.vis2),
             jnp.asarray(self.chi1), jnp.asarray(self.chi2),
             jnp.asarray(self.params1), jnp.asarray(self.params2),
             self.kind1, self.kind2, dof, bool(fix_scale), int(iterations)))
         ok = int(count) >= min_inliers
         return Sim3RansacResult(ok, np.asarray(R12, np.float64), np.asarray(t12, np.float64),
-                                float(s12), np.asarray(inl), int(count))
+                                float(s12), np.asarray(inl)[:self.n], int(count))
 
 
 # ---------------------------------------------------------------------------

@@ -128,11 +128,23 @@ def optimize_sim3_transform(rot_12: np.ndarray, trans_12: np.ndarray,
     huber = float(np.sqrt(inlier_threshold))
     w1 = np.sqrt(np.asarray(sigma_sq1, np.float32))
     w2 = np.sqrt(np.asarray(sigma_sq2, np.float32))
+    # pad the match axis to a 64-bucket: per-closure match counts vary, and
+    # each fresh static shape is a remote compile on the tunnel (CLAUDE.md
+    # compile-leak rule); padded rows are masked out via ``valid``
+    n_pad = max(64, -(-n // 64) * 64)
+    valid = np.arange(n_pad) < n
+
+    def _pad(a):
+        a = np.asarray(a, np.float32)
+        out = np.zeros((n_pad,) + a.shape[1:], np.float32)
+        out[:n] = a
+        return out
+
     R, t, s = _optimize_impl(
         jnp.asarray(rot_12, jnp.float32), jnp.asarray(trans_12, jnp.float32),
         jnp.asarray(float(scale_12), jnp.float32),
-        jnp.asarray(pts1_cam, jnp.float32), jnp.asarray(pts2_cam, jnp.float32),
-        jnp.asarray(obs1, jnp.float32), jnp.asarray(obs2, jnp.float32),
-        jnp.asarray(w1), jnp.asarray(w2), jnp.ones(n, bool),
+        jnp.asarray(_pad(pts1_cam)), jnp.asarray(_pad(pts2_cam)),
+        jnp.asarray(_pad(obs1)), jnp.asarray(_pad(obs2)),
+        jnp.asarray(_pad(w1)), jnp.asarray(_pad(w2)), jnp.asarray(valid),
         jnp.asarray(huber, jnp.float32), int(iterations), bool(fix_scale))
     return (np.asarray(R, np.float64), np.asarray(t, np.float64), float(s))

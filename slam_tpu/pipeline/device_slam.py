@@ -1,0 +1,316 @@
+"""Device-SLAM: the device-resident backend plus the host loop-closure
+consumer — the serving path's full SLAM loop.
+
+`BatchedDeviceVO` runs VO + sliding-window local BA + loop-candidate
+retrieval entirely inside one jitted scan per chunk (pipeline/device_vo.py).
+This module closes the loop — literally: it consumes the per-frame
+``(loop_frame, loop_score)`` flags plus the closure snapshot ring
+(camera-frame landmark points, descriptors, observations, poses stored at
+the retrieval cadence) and runs the reference's geometric closure stack on
+flagged pairs:
+
+    descriptor matching (mutual-NN + Lowe ratio; matchForLoopClosures
+    semantics, keyframe_matcher.cpp:50-158, minus the BoW buckets and
+    orientation vote the snapshot ring does not carry)
+ -> Sim3 RANSAC over camera-frame point pairs (loop_ransac.cpp:47-110,
+    `ops/ransac.Sim3Ransac` — all hypotheses evaluated in parallel on
+    device)
+ -> Sim3 refinement (optimize_transform.cpp:63-155, `ops/sim3_opt`)
+ -> acceptance gates (loop_closer.cpp:280-338: unnecessary-correction and
+    drift-rate gates over time and distance traveled)
+ -> correction (loop_closer.cpp:380-561: correction transform
+    T = poseCW⁻¹ ∘ candToCurr ∘ candidatePoseCW with the Sim3 scale
+    discarded by sim3ToSe3): the logged trajectory gets the rigid +
+    time-interpolated smear, and the DEVICE STATE is rebased in one
+    dispatch (`device_vo._rebase_states`) so the in-flight map, pose ring
+    and window continue from the corrected frame.
+
+Chunks stay asynchronous: `advance` dispatches the next chunk before the
+previous chunk's flags are collected, so closure consumption overlaps the
+device work and corrections land one chunk late (bounded, documented lag —
+the reference's backend similarly lags the frontend by
+``backendProcessDelay`` frames, mapper.cpp:239-266).
+"""
+from __future__ import annotations
+
+from collections import deque
+from typing import List, NamedTuple, Optional
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from slam_tpu.geometry import se3
+from slam_tpu.ops.hamming import HAMMING_DIST_THR_LOW, hamming_matrix_host
+from slam_tpu.ops.ransac import Sim3Ransac
+from slam_tpu.ops.sim3_opt import optimize_sim3_transform
+from slam_tpu.pipeline.device_vo import (BatchedDeviceVO, DeviceVOConfig,
+                                         _rebase_states, loop_candidates)
+from slam_tpu.pipeline.loop_closer import drift_gate_angle
+
+
+class DeviceSlamParams(NamedTuple):
+    """Host closure-stack knobs; defaults mirror `params.ParametersSlam`."""
+    frame_dt: float = 0.05            # seconds per frame (camera rate)
+    lowe_ratio: float = 0.9           # loopClosureFeatureMatchLoweRatio
+    min_feature_matches: int = 20     # minLoopClosureFeatureMatches
+    ransac_iterations: int = 200      # loopClosureRansacIterations
+    ransac_min_inliers: int = 20      # loopClosureRansacMinInliers
+    fix_scale: bool = True            # loopClosureRansacFixScale
+    inlier_threshold: float = 10.0    # loopClosureInlierThreshold
+    min_closure_gap_s: float = 5.0    # correction >= 5 s gate,
+    #                                   loop_closer.cpp:166-169
+    max_drift_m_per_s: float = 0.05   # maximumDriftMetersPerSecond
+    max_drift_m_per_m: float = 0.05   # maximumDriftMetersPerTraveled
+    max_drift_rad_per_s: float = 0.01  # maximumDriftRadiansPerSecond
+    max_drift_rad_per_m: float = 0.01  # maximumDriftRadiansPerTraveled
+    apply_closures: bool = True       # applyLoopClosures
+
+
+class ClosureEvent(NamedTuple):
+    seq: int
+    query_frame: int
+    cand_frame: int
+    score: float
+    n_matches: int
+    n_inliers: int
+    accepted: bool
+    reason: str                        # LoopCloserStats-style outcome tag
+    T: Optional[np.ndarray]            # (4, 4) world correction when accepted
+
+
+def _mutual_nn_lowe(dist: np.ndarray, valid1: np.ndarray,
+                    valid2: np.ndarray, lowe_ratio: float):
+    """Mutual-nearest matching with Lowe second-best ratio and THR_LOW
+    acceptance over a host Hamming matrix. Returns (idx1, idx2) pairs."""
+    d = dist.astype(np.int64).copy()
+    BIG = 10_000
+    d[~valid1, :] = BIG
+    d[:, ~valid2] = BIG
+    if d.shape[1] < 2:
+        return np.zeros(0, int), np.zeros(0, int)
+    best2 = np.argmin(d, axis=1)
+    part = np.partition(d, 1, axis=1)
+    best_d, second_d = part[:, 0], part[:, 1]
+    best1_of_2 = np.argmin(d, axis=0)
+    i1 = np.arange(d.shape[0])
+    ok = (valid1
+          & (best_d <= HAMMING_DIST_THR_LOW)
+          & (best_d <= lowe_ratio * second_d)
+          & (best1_of_2[best2] == i1))
+    return i1[ok], best2[ok]
+
+
+class DeviceSlam:
+    """S concurrent device-resident SLAM sessions with host loop closure.
+
+    Parameters
+    ----------
+    cfg : DeviceVOConfig with ``loop_every > 0`` (and usually ``window > 0``
+        for the in-scan local BA) — the full device backend.
+    batch : number of concurrent sequences S.
+    """
+
+    def __init__(self, cfg: DeviceVOConfig, batch: int, camera=None,
+                 settings=None, mesh=None,
+                 params: DeviceSlamParams = DeviceSlamParams()):
+        assert cfg.loop_every > 0, (
+            "DeviceSlam needs in-scan loop-candidate retrieval "
+            "(cfg.loop_every > 0)")
+        from slam_tpu.pipeline.device_vo import _resolve_camera
+        self.cfg = cfg
+        self.batch = batch
+        self.params = params
+        self.camera = _resolve_camera(cfg, camera)
+        self.vo = BatchedDeviceVO(cfg, batch=batch, camera=self.camera,
+                                  settings=settings, mesh=mesh)
+        self._pose_log: List[List[np.ndarray]] = [[] for _ in range(batch)]
+        self._last_closure = [-(10 ** 9)] * batch
+        self.closures: List[ClosureEvent] = []
+        self._pending: deque = deque()
+        self._frames_done = 0
+
+    # ------------------------------------------------------------------
+
+    def advance(self, images: np.ndarray, odom_deltas: np.ndarray):
+        """Dispatch one (S, T, ...) chunk; consume the PREVIOUS chunk's
+        loop flags while this one runs on device (one-chunk closure lag)."""
+        out = self.vo.advance(images, odom_deltas)
+        for leaf in (out.pose_cw, out.loop_frame, out.loop_score):
+            leaf.copy_to_host_async()
+        # third slot: per-sequence corrections accepted AFTER this chunk was
+        # dispatched but BEFORE it is consumed — its poses were computed
+        # from pre-rebase state and must be corrected on arrival
+        self._pending.append([out, self._frames_done, {}])
+        self._frames_done += images.shape[1]
+        while len(self._pending) > 1:
+            self._consume(*self._pending.popleft())
+        return out
+
+    def finish(self) -> None:
+        """Drain pending chunks (forces completion of the dispatch chain)."""
+        while self._pending:
+            self._consume(*self._pending.popleft())
+
+    def trajectory(self, seq: int) -> np.ndarray:
+        """(F, 4, 4) loop-corrected pose_cw log of one sequence."""
+        return np.stack(self._pose_log[seq]) if self._pose_log[seq] else \
+            np.zeros((0, 4, 4), np.float32)
+
+    # ------------------------------------------------------------------
+
+    def _consume(self, out, offset: int, late_corr: dict) -> None:
+        poses = np.asarray(jax.device_get(out.pose_cw))      # (S, T, 4, 4)
+        for s in range(self.batch):
+            Tc = late_corr.get(s)
+            if Tc is not None:
+                self._pose_log[s].extend(p @ Tc for p in poses[s])
+            else:
+                self._pose_log[s].extend(poses[s])
+        rows = loop_candidates(out, frame_offset=offset)
+        if len(rows) == 0:
+            return
+        gap_frames = self.params.min_closure_gap_s / self.params.frame_dt
+        best = {}
+        for seq_f, q_f, c_f, score in rows:
+            seq, q, c = int(seq_f), int(q_f), int(c_f)
+            # only snapshot-stored queries carry closure geometry
+            if q % self.cfg.loop_every != 0:
+                continue
+            if q - self._last_closure[seq] < gap_frames:
+                continue
+            cur = best.get(seq)
+            if cur is None or score > cur[2]:
+                best[seq] = (q, c, float(score))
+        if not best:
+            return
+        Ts = np.tile(np.eye(4, dtype=np.float32), (self.batch, 1, 1))
+        apply = np.zeros(self.batch, bool)
+        cands = np.full(self.batch, -1, np.int32)
+        for seq, (q, c, score) in best.items():
+            ev = self._try_close(seq, q, c, score)
+            self.closures.append(ev)
+            if ev.accepted and self.params.apply_closures:
+                Ts[seq] = ev.T
+                apply[seq] = True
+                cands[seq] = c
+                self._correct_log(seq, c, q, ev.T)
+                self._last_closure[seq] = q
+        if apply.any():
+            self.vo.state = _rebase_states(
+                self.vo.state, jnp.asarray(Ts), jnp.asarray(apply),
+                jnp.asarray(cands))
+            # chunks still in flight were computed from pre-rebase state:
+            # their poses get the same right-multiplied correction when
+            # they arrive (reference analogue: frames queued behind the
+            # backend during correctLoop replay onto the corrected map,
+            # mapper.cpp:328-343 fastForward)
+            for entry in self._pending:
+                for s in np.nonzero(apply)[0]:
+                    prev = entry[2].get(int(s), np.eye(4, dtype=np.float32))
+                    entry[2][int(s)] = prev @ Ts[s]
+
+    # ------------------------------------------------------------------
+
+    def _snapshot(self, seq: int, frame: int):
+        slot = (frame // self.cfg.loop_every) % self.cfg.loop_slots
+        st = self.vo.state
+        return jax.device_get((st.sig_frame[seq, slot],
+                               st.sig_pc[seq, slot],
+                               st.sig_desc[seq, slot],
+                               st.sig_obs[seq, slot],
+                               st.sig_pvalid[seq, slot],
+                               st.sig_pose[seq, slot]))
+
+    def _try_close(self, seq: int, q: int, c: int,
+                   score: float) -> ClosureEvent:
+        p = self.params
+
+        def rej(reason, n_matches=0, n_inliers=0):
+            return ClosureEvent(seq, q, c, score, n_matches, n_inliers,
+                                False, reason, None)
+
+        fq, pc_q, desc_q, obs_q, val_q, pose_q = self._snapshot(seq, q)
+        fc, pc_c, desc_c, obs_c, val_c, pose_c = self._snapshot(seq, c)
+        if int(fq) != q or int(fc) != c:
+            return rej("ring_overwritten")
+
+        dist = hamming_matrix_host(desc_q, desc_c)
+        i_q, i_c = _mutual_nn_lowe(dist, val_q, val_c, p.lowe_ratio)
+        if len(i_q) < p.min_feature_matches:
+            return rej("too_few_feature_matches", n_matches=len(i_q))
+
+        # Sim3 RANSAC over camera-frame point pairs: "1" = query/current,
+        # "2" = candidate, so the recovered transform12 is candToCurr —
+        # the same convention as the interactive LoopCloser (loop RANSAC
+        # ctor loop_ransac.cpp:8-45). Snapshot rows carry no octave, so
+        # per-match sigma is the level-0 1.0 (chi2 gate at 9.21 px²).
+        ones = np.ones(len(i_q), np.float32)
+        ransac = Sim3Ransac(self.camera, self.camera,
+                            pc_q[i_q], pc_c[i_c], ones, ones)
+        res = ransac.solve(p.ransac_iterations, dof="SIM3",
+                           fix_scale=p.fix_scale,
+                           min_inliers=p.ransac_min_inliers)
+        if not res.ok:
+            return rej("ransac_failed", n_matches=len(i_q))
+
+        inl = res.inliers
+        R12, t12, s12 = optimize_sim3_transform(
+            res.rot_12, res.trans_12, res.scale_12,
+            pc_q[i_q][inl], pc_c[i_c][inl],
+            obs_q[i_q][inl], obs_c[i_c][inl],
+            ones[inl], ones[inl],
+            p.inlier_threshold, p.fix_scale)
+        cand_to_curr = se3.Sim3(R12, t12, s12)
+
+        # acceptance gates (loop_closer.cpp:280-338)
+        updated_pose = (cand_to_curr * se3.Sim3.from_se3(pose_c)).to_se3()
+        correction_distance = float(np.linalg.norm(
+            se3.camera_center(pose_q) - se3.camera_center(updated_pose)))
+        distance_from_candidate = float(np.linalg.norm(
+            se3.camera_center(pose_c) - se3.camera_center(updated_pose)))
+        if distance_from_candidate > 1.0 * correction_distance:
+            return rej("unnecessary", len(i_q), res.num_inliers)
+        angle_change = drift_gate_angle(cand_to_curr.to_se3(), pose_c,
+                                        pose_q)
+        time_between = max((q - c) * p.frame_dt, 1e-9)
+        log = self._pose_log[seq]
+        centers = np.stack([se3.camera_center(log[f])
+                            for f in range(c, min(q + 1, len(log)))])
+        traveled = float(np.sum(np.linalg.norm(np.diff(centers, axis=0),
+                                               axis=1))) if len(centers) > 1 \
+            else 1e-9
+        if (correction_distance / time_between > p.max_drift_m_per_s
+                or correction_distance / max(traveled, 1e-9)
+                > p.max_drift_m_per_m):
+            return rej("too_large_position_drift", len(i_q), res.num_inliers)
+        if (angle_change / time_between > p.max_drift_rad_per_s
+                or angle_change / max(traveled, 1e-9) > p.max_drift_rad_per_m):
+            return rej("too_large_angle_drift", len(i_q), res.num_inliers)
+
+        # correction transform (loop_closer.cpp:405; scale discarded by
+        # sim3ToSe3 exactly as the interactive correct_loop does)
+        T = (se3.Sim3.from_se3(pose_q).inverse() * cand_to_curr
+             * se3.Sim3.from_se3(pose_c)).to_se3().astype(np.float32)
+        return ClosureEvent(seq, q, c, score, len(i_q), res.num_inliers,
+                            True, "ok", T)
+
+    def _correct_log(self, seq: int, c: int, q: int, T: np.ndarray) -> None:
+        """Rigid + time-interpolated smear of the correction over the logged
+        trajectory (loop_closer.cpp:421-470): frames at/after the query move
+        rigidly by ``T``; frames between the correction start (candidate or
+        previous closure, whichever is newer) and the query interpolate
+        between identity and ``T``."""
+        log = self._pose_log[seq]
+        start = max(c, self._last_closure[seq] + 1, 0)
+        T1 = se3.Sim3.from_se3(T.astype(np.float64))
+        T0 = se3.Sim3.identity()
+        for f in range(start, len(log)):
+            if f >= q:
+                Tl = T1
+            else:
+                lam = (f - start) / max(q - start, 1)
+                Tl = se3.interpolate_sim3(T0, T1, min(max(lam, 0.0), 1.0))
+            log[f] = (se3.Sim3.from_se3(log[f].astype(np.float64))
+                      * Tl).to_se3().astype(np.float32)

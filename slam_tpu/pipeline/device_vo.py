@@ -81,6 +81,18 @@ class VOState(NamedTuple):
     # --- loop-candidate signature ring (capacity 1 when detection is off)
     sig_ring: jnp.ndarray       # (R, W) L2-normalized word histograms
     sig_frame: jnp.ndarray      # (R,) frame index of each signature, -1=empty
+    # --- loop-closure snapshot ring, stored at the same cadence/slots as
+    # sig_ring: up to P matched landmarks of the stored frame as camera-frame
+    # 3D points + descriptors + normalized observations, plus the pose. This
+    # is exactly what the host closure stack consumes (LoopRansac operates on
+    # matched map points expressed in the two KFs' camera frames,
+    # loop_ransac.cpp:8-45) — and it survives landmark culling, so a revisit
+    # can close against a region whose landmarks left the live map long ago.
+    sig_pc: jnp.ndarray         # (R, P, 3) camera-frame landmark points
+    sig_desc: jnp.ndarray       # (R, P, 8) uint32 descriptors
+    sig_obs: jnp.ndarray        # (R, P, 2) normalized-camera observations
+    sig_pvalid: jnp.ndarray     # (R, P) row validity
+    sig_pose: jnp.ndarray       # (R, 4, 4) pose_cw at storage time
 
 
 class VOStepOut(NamedTuple):
@@ -89,7 +101,10 @@ class VOStepOut(NamedTuple):
     n_new: jnp.ndarray          # () landmarks inserted this frame
     loop_frame: jnp.ndarray     # () int32 best time-gated revisit candidate
     #                                frame index, -1 = none above the gate
-    loop_score: jnp.ndarray     # () f32 cosine retrieval score of that frame
+    loop_score: jnp.ndarray     # () f32 cosine retrieval score of that
+    #                                frame; -1.0 when loop_frame == -1 (all
+    #                                candidates masked), 0.0 when detection
+    #                                is off — check loop_frame first
 
 
 class DeviceVOConfig(NamedTuple):
@@ -173,9 +188,16 @@ class DeviceVOConfig(NamedTuple):
     loop_slots: int = 64
     loop_words: int = 512
     loop_min_gap: int = 30
-    # score gate: below it loop_frame reports -1. Conservative default —
-    # callers should calibrate on their texture regime (the bowScoreRatio
-    # analogue is host-side, relative scoring needs the candidate set).
+    # snapshot capacity: matched landmarks stored per ring slot for the host
+    # closure stack (camera-frame points + descriptors + observations)
+    loop_points: int = 192
+    # score gate: below it loop_frame reports -1. NOTE: 0.0 DISABLES the
+    # gate (the permissive extreme) — once any ring entry passes the time
+    # gate every frame reports a candidate, and a host consuming
+    # loop_candidates() would run geometric verification on every frame.
+    # `calibrate_loop_gate` measures a safe value from a bootstrap segment
+    # (non-revisit score quantile); the bowScoreRatio analogue is
+    # host-side, relative scoring needs the candidate set.
     loop_min_score: float = 0.0
 
 
@@ -208,7 +230,6 @@ def _frontend_spec(settings: StaticSettings, width: int, height: int):
             0)  # retrieval quantization not needed in the VO core
 
 
-@_geom_precision
 def _loop_codebook(num_words: int) -> np.ndarray:
     """(W, 8) uint32 retrieval codebook for the device loop detector.
 
@@ -225,6 +246,7 @@ def _loop_codebook(num_words: int) -> np.ndarray:
     return np.ascontiguousarray(base[::stride][:num_words])
 
 
+@_geom_precision
 def _match_map(state: VOState, pts, desc, feat_valid, pose_pred,
                cam_kind, cam_params, cfg: DeviceVOConfig):
     """Projection-gated mutual-nearest landmark<->feature matching
@@ -678,6 +700,9 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
 
         # --- device-resident loop-candidate retrieval (BoW-index analogue)
         sig_ring, sig_frame = state.sig_ring, state.sig_frame
+        sig_pc, sig_desc_ring = state.sig_pc, state.sig_desc
+        sig_obs, sig_pvalid = state.sig_obs, state.sig_pvalid
+        sig_pose = state.sig_pose
         loop_frame = jnp.asarray(-1, jnp.int32)
         loop_score = jnp.asarray(0.0, jnp.float32)
         if cfg.loop_every > 0:
@@ -711,6 +736,36 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
                 jnp.where(store, sig, sig_ring[slot]))
             sig_frame = sig_frame.at[slot].set(
                 jnp.where(store, state.frame_idx, sig_frame[slot]))
+            # snapshot the frame's VISIBLE live landmarks for the host
+            # closure stack: camera-frame points under the optimized pose,
+            # descriptors, and normalized observations (what LoopRansac +
+            # the Sim3 refinement consume — the analogue of the candidate
+            # KF's observed map points, loop_ransac.cpp:8-45). Rows matched
+            # this frame rank first and carry the measured observation;
+            # visible-but-unmatched rows widen the match supply and carry
+            # the landmark's own projection. Compaction = one argsort
+            # gather — no serial scatter.
+            P = cfg.loop_points
+            with jax.default_matmul_precision("highest"):
+                pc_cam = lm_pos @ pose_cw[:3, :3].T + pose_cw[:3, 3]
+            _, snap_vis = camera_jax.project(cam_kind, cam_params, pc_cam)
+            snap_sel = lm_valid & snap_vis & (pc_cam[:, 2] > 1e-6)
+            order = jnp.argsort(-(snap_sel.astype(jnp.int32)
+                                  + (snap_sel & matched).astype(jnp.int32)),
+                                stable=True)[:P]
+            zsafe = jnp.maximum(pc_cam[:, 2:3], 1e-6)
+            snap_obs = jnp.where((matched & snap_sel)[:, None], meas,
+                                 pc_cam[:, :2] / zsafe)
+            sig_pc = sig_pc.at[slot].set(
+                jnp.where(store, pc_cam[order], sig_pc[slot]))
+            sig_desc_ring = sig_desc_ring.at[slot].set(
+                jnp.where(store, lm_desc[order], sig_desc_ring[slot]))
+            sig_obs = sig_obs.at[slot].set(
+                jnp.where(store, snap_obs[order], sig_obs[slot]))
+            sig_pvalid = sig_pvalid.at[slot].set(
+                jnp.where(store, snap_sel[order], sig_pvalid[slot]))
+            sig_pose = sig_pose.at[slot].set(
+                jnp.where(store, pose_cw, sig_pose[slot]))
 
         new_state = VOState(
             pose_cw=pose_cw, lm_pos=lm_pos, lm_desc=lm_desc,
@@ -721,7 +776,9 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
             prev_pose_cw=pose_cw, frame_idx=state.frame_idx + 1,
             win_pose_cw=win_pose_cw, win_valid=win_valid, win_odo=win_odo,
             wobs_meas=wobs_meas, wobs_valid=wobs_valid,
-            sig_ring=sig_ring, sig_frame=sig_frame)
+            sig_ring=sig_ring, sig_frame=sig_frame,
+            sig_pc=sig_pc, sig_desc=sig_desc_ring, sig_obs=sig_obs,
+            sig_pvalid=sig_pvalid, sig_pose=sig_pose)
         return new_state, VOStepOut(pose_cw=pose_cw,
                                     n_matched=jnp.sum(matched),
                                     n_new=n_new,
@@ -729,6 +786,52 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
                                     loop_score=loop_score)
 
     return step, spec
+
+
+@jax.jit
+def _rebase_states(state: VOState, T: jnp.ndarray, apply: jnp.ndarray,
+                   cand_frame: jnp.ndarray) -> VOState:
+    """Apply per-sequence loop-closure corrections to batched device state.
+
+    ``T``: (S, 4, 4) SE3 world->world correction, right-multiplied onto
+    poses (reference correctLoop semantics, loop_closer.cpp:405-434:
+    ``pose' = pose ∘ T`` with the Sim3 scale discarded by sim3ToSe3, which
+    our host consumer mirrors via ``Sim3.to_se3``). World entities move by
+    ``T⁻¹`` so camera-frame coordinates are preserved exactly:
+    ``pose' p' = pose T T⁻¹ p = pose p`` — the device-state analogue of the
+    map-point re-expression at loop_closer.cpp:492-506 with the current
+    region's poses as reference. Camera-frame snapshot points (sig_pc) are
+    invariant; snapshot poses of frames newer than the closure candidate
+    (``sig_frame > cand_frame``) are in the corrected region and move with
+    it. ``apply``: (S,) mask — sequences without an accepted closure pass
+    through untouched."""
+    from slam_tpu.ops import lie
+
+    with jax.default_matmul_precision("highest"):
+        def one(st, Tc, on, cf):
+            Tinv = lie.se3_inverse(Tc)
+            Rinv, tinv = Tinv[:3, :3], Tinv[:3, 3]
+
+            def pose(p):
+                return jnp.where(on, p @ Tc, p)
+
+            def point(p):
+                return jnp.where(on, p @ Rinv.T + tinv, p)
+
+            sig_move = on & (st.sig_frame > cf)
+            return st._replace(
+                pose_cw=pose(st.pose_cw),
+                prev_pose_cw=pose(st.prev_pose_cw),
+                win_pose_cw=jnp.where(on, st.win_pose_cw @ Tc,
+                                      st.win_pose_cw),
+                lm_pos=point(st.lm_pos),
+                lm_anchor_origin=point(st.lm_anchor_origin),
+                lm_anchor_ray=jnp.where(on, st.lm_anchor_ray @ Rinv.T,
+                                        st.lm_anchor_ray),
+                sig_pose=jnp.where(sig_move[:, None, None],
+                                   st.sig_pose @ Tc, st.sig_pose))
+
+        return jax.vmap(one)(state, T, apply, cand_frame)
 
 
 def loop_candidates(out: VOStepOut, frame_offset: int = 0) -> np.ndarray:
@@ -757,6 +860,7 @@ def init_state(cfg: DeviceVOConfig, num_slots: int,
     K_win = max(cfg.window, 1)
     R_sig = cfg.loop_slots if cfg.loop_every > 0 else 1
     W_sig = cfg.loop_words if cfg.loop_every > 0 else 1
+    P_sig = cfg.loop_points if cfg.loop_every > 0 else 1
     pose0 = np.eye(4, dtype=np.float32) if pose0_cw is None else \
         np.asarray(pose0_cw, np.float32)
     return VOState(
@@ -782,7 +886,13 @@ def init_state(cfg: DeviceVOConfig, num_slots: int,
         wobs_meas=jnp.zeros((M, K_win, 2), jnp.float32),
         wobs_valid=jnp.zeros((M, K_win), bool),
         sig_ring=jnp.zeros((R_sig, W_sig), jnp.float32),
-        sig_frame=jnp.full(R_sig, -1, jnp.int32))
+        sig_frame=jnp.full(R_sig, -1, jnp.int32),
+        sig_pc=jnp.zeros((R_sig, P_sig, 3), jnp.float32),
+        sig_desc=jnp.zeros((R_sig, P_sig, 8), jnp.uint32),
+        sig_obs=jnp.zeros((R_sig, P_sig, 2), jnp.float32),
+        sig_pvalid=jnp.zeros((R_sig, P_sig), bool),
+        sig_pose=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                  (R_sig, 4, 4)))
 
 
 # Compiled scan-over-frames programs keyed by everything that shapes the
