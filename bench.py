@@ -392,7 +392,8 @@ def bench_device_slam(n_sequences=4, chunk=8, n_chunks=6, width=640,
                          loop_every=4, loop_slots=32, loop_words=512,
                          loop_min_gap=16, loop_min_score=0.9,
                          loop_points=192)
-    params = DeviceSlamParams(frame_dt=0.1, min_closure_gap_s=2.0)
+    params = DeviceSlamParams(frame_dt=0.1, min_closure_gap_s=2.0,
+                              calib_frames=min(20, lap - 4))
     cam0 = worlds[0].camera
 
     def run():

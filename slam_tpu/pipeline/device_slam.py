@@ -61,11 +61,39 @@ class DeviceSlamParams(NamedTuple):
     inlier_threshold: float = 10.0    # loopClosureInlierThreshold
     min_closure_gap_s: float = 5.0    # correction >= 5 s gate,
     #                                   loop_closer.cpp:166-169
+    # retrieval score gate, applied HOST-side so it needs no recompile of
+    # the scanned program (the device-side cfg.loop_min_score stays 0 =
+    # report-everything). None = AUTO-CALIBRATE from the bootstrap segment:
+    # the first `calib_frames` frames are assumed revisit-free (their
+    # eligible-candidate scores are cross-scene similarity, i.e. the false-
+    # positive distribution), and the gate is their max + `calib_margin`,
+    # clamped to [calib_floor, 0.995]. The bowScoreRatio analogue of
+    # bow_index.cpp:95-176, made safe-by-measurement instead of by-tuning.
+    min_loop_score: Optional[float] = None
+    calib_frames: int = 60
+    calib_margin: float = 0.02
+    calib_floor: float = 0.5
     max_drift_m_per_s: float = 0.05   # maximumDriftMetersPerSecond
     max_drift_m_per_m: float = 0.05   # maximumDriftMetersPerTraveled
     max_drift_rad_per_s: float = 0.01  # maximumDriftRadiansPerSecond
     max_drift_rad_per_m: float = 0.01  # maximumDriftRadiansPerTraveled
     apply_closures: bool = True       # applyLoopClosures
+
+
+def calibrate_loop_gate(bootstrap_scores: np.ndarray, margin: float = 0.02,
+                        floor: float = 0.5, ceil: float = 0.995) -> float:
+    """Retrieval-score gate from a revisit-free bootstrap segment.
+
+    ``bootstrap_scores``: per-frame best-eligible-candidate cosine scores
+    (``VOStepOut.loop_score``; entries <= -0.5 mean no eligible candidate
+    and are ignored). The returned gate sits ``margin`` above the largest
+    observed false-positive score — scores above it are then evidence of a
+    genuine revisit on this texture regime. Standalone version of the
+    auto-calibration `DeviceSlam` runs when ``min_loop_score`` is None."""
+    s = np.asarray(bootstrap_scores, np.float64).ravel()
+    s = s[s > -0.5]
+    base = float(s.max()) if len(s) else floor
+    return float(np.clip(base + margin, floor, ceil))
 
 
 class ClosureEvent(NamedTuple):
@@ -130,6 +158,10 @@ class DeviceSlam:
         self.closures: List[ClosureEvent] = []
         self._pending: deque = deque()
         self._frames_done = 0
+        # host-side retrieval gate (see DeviceSlamParams.min_loop_score)
+        self._calib_scores: List[List[float]] = [[] for _ in range(batch)]
+        self._score_gate: List[Optional[float]] = [
+            params.min_loop_score] * batch
 
     # ------------------------------------------------------------------
 
@@ -168,10 +200,27 @@ class DeviceSlam:
                 self._pose_log[s].extend(p @ Tc for p in poses[s])
             else:
                 self._pose_log[s].extend(poses[s])
+        # score-gate calibration from the bootstrap segment (assumed
+        # revisit-free), then finalize once the segment is past
+        p = self.params
+        if p.min_loop_score is None:
+            scores = np.asarray(jax.device_get(out.loop_score))  # (S, T)
+            T = scores.shape[1]
+            for s in range(self.batch):
+                if self._score_gate[s] is not None:
+                    continue
+                hi = min(p.calib_frames - offset, T)
+                if hi > 0:
+                    self._calib_scores[s].extend(scores[s, :hi].tolist())
+                if offset + T >= p.calib_frames:
+                    self._score_gate[s] = calibrate_loop_gate(
+                        np.asarray(self._calib_scores[s]),
+                        p.calib_margin, p.calib_floor)
+
         rows = loop_candidates(out, frame_offset=offset)
         if len(rows) == 0:
             return
-        gap_frames = self.params.min_closure_gap_s / self.params.frame_dt
+        gap_frames = p.min_closure_gap_s / p.frame_dt
         best = {}
         for seq_f, q_f, c_f, score in rows:
             seq, q, c = int(seq_f), int(q_f), int(c_f)
@@ -179,6 +228,9 @@ class DeviceSlam:
             if q % self.cfg.loop_every != 0:
                 continue
             if q - self._last_closure[seq] < gap_frames:
+                continue
+            gate = self._score_gate[seq]
+            if gate is None or score < gate:
                 continue
             cur = best.get(seq)
             if cur is None or score > cur[2]:

@@ -462,11 +462,13 @@ class TestDeviceLoopClosure:
             [np.eye(4, dtype=np.float32)]
             + [bias @ (world.poses_cw[i] @ np.linalg.inv(world.poses_cw[i - 1]))
                .astype(np.float32) for i in range(1, T)])
+        # loop_min_score stays at its 0.0 DEFAULT (device reports every
+        # eligible candidate): the host's auto-calibrated score gate is
+        # what must keep the consumer from firing on cross-scene similarity
         cfg = DeviceVOConfig(width=320, height=240, lm_capacity=256,
                              max_keypoints=200, ba_iterations=2,
                              loop_every=2, loop_slots=32, loop_words=256,
-                             loop_min_gap=16, loop_min_score=0.9,
-                             loop_points=128)
+                             loop_min_gap=16, loop_points=128)
         return cam, world, frames, deltas, cfg
 
     def _run(self, cam, world, frames, deltas, cfg, apply_closures):
@@ -474,7 +476,10 @@ class TestDeviceLoopClosure:
 
         T = frames.shape[0]
         chunk = 8
-        params = DeviceSlamParams(frame_dt=0.1, apply_closures=apply_closures)
+        # calib_frames=24: the first lap's pre-revisit segment is the
+        # revisit-free bootstrap the auto-calibrated score gate needs
+        params = DeviceSlamParams(frame_dt=0.1, apply_closures=apply_closures,
+                                  calib_frames=24)
         slam = DeviceSlam(cfg, batch=1, camera=cam, params=params)
         p0 = world.poses_cw[0].astype(np.float32)[None]
         slam.vo.state = slam.vo.state._replace(pose_cw=p0, prev_pose_cw=p0)
@@ -502,6 +507,15 @@ class TestDeviceLoopClosure:
         ev = accepted[0]
         assert abs((ev.query_frame - ev.cand_frame) - lap) <= cfg.loop_every
         assert ev.n_inliers >= 20
+
+        # the auto-calibrated score gate sits above the bootstrap's
+        # cross-scene similarity (measured max ~0.88 on this texture) and
+        # below the genuine-revisit scores (~1.0); a rare pre-revisit false
+        # candidate may still reach geometric verification (the gate is a
+        # prefilter) but must be REJECTED there — never accepted
+        gate = slam._score_gate[0]
+        assert gate is not None and 0.80 < gate < 0.99, gate
+        assert all(e.query_frame >= lap for e in accepted)
 
         # the gates ran at their DEFAULT values (regression guard: a closure
         # accepted only because gates were loosened is not this test)

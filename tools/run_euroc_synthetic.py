@@ -46,16 +46,32 @@ ROOM = (10.0, 3.0, 10.0)          # x, y (up), z extents, centered on origin
 TEX_SIZE = 1024
 
 
-def make_scene(seed=0):
+def make_scene(seed=0, tile=0):
     """Six textured planes. Texture = coarse random blocks (strong corners at
-    every block boundary) + fine noise (descriptor distinctiveness)."""
+    every block boundary) + fine noise (descriptor distinctiveness).
+
+    ``tile > 0``: REPEATING textures — one small random motif tiled
+    ``tile x tile`` across each plane, so visually identical patches recur
+    across the wall. This is the adversarial world for pure-Hamming
+    mutual-NN association (ambiguous matches; the regime the Lowe-ratio
+    gate exists for) and for appearance-based retrieval."""
     rng = np.random.default_rng(seed)
     textures = []
     for _ in range(6):
-        blocks = rng.integers(30, 226, (64, 64)).astype(np.float32)
+        if tile > 0:
+            motif_blocks = rng.integers(30, 226, (64 // tile, 64 // tile)
+                                        ).astype(np.float32)
+            blocks = np.tile(motif_blocks, (tile, tile))
+        else:
+            blocks = rng.integers(30, 226, (64, 64)).astype(np.float32)
         coarse = np.kron(blocks, np.ones((TEX_SIZE // 64, TEX_SIZE // 64),
                                          np.float32))
         fine = rng.normal(0.0, 12.0, (TEX_SIZE, TEX_SIZE)).astype(np.float32)
+        if tile > 0:
+            # tile the fine noise with the same period: otherwise the noise
+            # alone disambiguates the repeats
+            period = TEX_SIZE // tile
+            fine = np.tile(fine[:period, :period], (tile, tile))
         textures.append(np.clip(coarse + fine, 0, 255))
     hx, hy, hz = ROOM[0] / 2, ROOM[1] / 2, ROOM[2] / 2
     # (axis, plane value, u-axis, v-axis, u extent, v extent)
