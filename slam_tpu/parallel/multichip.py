@@ -1,8 +1,21 @@
-"""Multi-chip map-update step: the PRODUCTION per-frame compute path, sharded.
+"""Multi-chip SHARDING SMOKE TEST over the production kernels.
 
-One jitted "update step" covering every dense stage of the SLAM pipeline for
-a BATCH of frame pairs (offline multi-sequence mapping / batched serving),
-built from the same kernels the single-chip pipeline dispatches:
+Scope note (be precise about what this is): the step below exercises every
+production kernel family under a two-axis (``data`` x ``hyp``) GSPMD
+sharding, but its per-frame SEMANTICS are a demo shape — frames matched to
+their rolled neighbors, mutual-NN instead of the greedy one-to-one
+matchers, a fixed 2-pose BA, and degenerate-input fallbacks that fabricate
+matches so tiny random inputs still exercise the solvers. It validates
+that the kernels partition and compile over a mesh, not that a deployed
+pipeline runs this step. The PRODUCTION multi-chip demonstration is the
+sharded device-resident SLAM scan (`pipeline/device_vo.BatchedDeviceVO`
+with ``mesh=``; per-frame semantics identical to single-chip serving),
+which `__graft_entry__.dryrun_multichip` also runs, and which
+tests/test_device_vo.py verifies matches the unsharded run exactly.
+
+One jitted "update step" covering every dense stage of the SLAM pipeline
+for a BATCH of frame pairs, built from the same kernels the single-chip
+pipeline dispatches:
 
   - fused ORB front-end (`ops/frontend._extract_impl`: MXU pyramid chain,
     detector, IC-angle, rotated BRIEF, BoW quantization),

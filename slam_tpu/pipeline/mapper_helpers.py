@@ -1466,23 +1466,44 @@ def add_keyframe_common_inner(map_db: MapDB, current_keyframe: Keyframe,
     refresh_map_points(current_keyframe, map_db, settings)
 
     # pipelinedLocalBA: the previous keyframe's deferred solve has been
-    # overlapping all the host matching above; collect it and run its
-    # pipeline tail now, just before this frame's problem is built
-    finalize_pending_ba(map_db, settings, workspace_ba, loop_closer,
-                        bow_index, viewer_publisher)
+    # overlapping all the host matching above; collect + APPLY it now (this
+    # frame's problem must be built from the applied poses), but hold its
+    # pipeline tail until after this frame's solve is dispatched — the tail
+    # (retriangulation, culling, BoW add, loop closure; ~7 ms host) then
+    # also overlaps the device round trip instead of extending it
+    prev_pending = collect_pending_ba(workspace_ba, map_db)
 
     if ps.applyLocalBundleAdjustment:
         deferred = local_bundle_adjust(current_keyframe, workspace_ba, map_db,
                                        ps.localBAProblemSize, settings,
                                        defer=ps.pipelinedLocalBA,
                                        adjacent_kf_ids=adjacent_kf_ids)
-        if deferred:
-            # apply + tail (retriangulation, culling, BoW add, loop closure)
-            # run at the next finalize point while the solve is in flight
-            return
-    _post_ba_tail(map_db, current_keyframe, adjacent_kf_ids, settings,
-                  workspace_ba, loop_closer, bow_index, viewer_publisher,
-                  did_ba=ps.applyLocalBundleAdjustment)
+    else:
+        deferred = False
+
+    if prev_pending is not None:
+        prev_kf = map_db.keyframes.get(prev_pending.kf_id)
+        if prev_kf is not None:
+            _post_ba_tail(
+                map_db, prev_kf,
+                [k for k in prev_pending.adjacent_kf_ids
+                 if k in map_db.keyframes],
+                settings, workspace_ba, loop_closer, bow_index,
+                viewer_publisher, did_ba=True)
+
+    if deferred and workspace_ba.pending is None:
+        # the previous keyframe's tail closed a loop and dropped this
+        # frame's in-flight solve as stale — run this frame's tail now
+        # (its local BA was superseded by the closure's re-optimization)
+        _post_ba_tail(map_db, current_keyframe, adjacent_kf_ids, settings,
+                      workspace_ba, loop_closer, bow_index, viewer_publisher,
+                      did_ba=False)
+    elif not deferred:
+        # apply + tail for THIS frame run at the next finalize point when
+        # deferred; synchronously here otherwise
+        _post_ba_tail(map_db, current_keyframe, adjacent_kf_ids, settings,
+                      workspace_ba, loop_closer, bow_index, viewer_publisher,
+                      did_ba=ps.applyLocalBundleAdjustment)
 
 
 def _post_ba_tail(map_db: MapDB, current_keyframe: Keyframe,
@@ -1513,6 +1534,13 @@ def _post_ba_tail(map_db: MapDB, current_keyframe: Keyframe,
         closed_loop = loop_closer.try_loop_closure(current_keyframe,
                                                    adjacent_kf_ids)
     if closed_loop:
+        if workspace_ba.pending is not None:
+            # tail-overlapped mode: a NEWER keyframe's solve is in flight,
+            # built from pre-closure poses. The closure just rewrote those
+            # poses, so the solve is stale — drop it (the closure's own
+            # global/local BA below supersedes it; the reference likewise
+            # re-optimizes after correctLoop, mapper_helpers.cpp:1106-1121)
+            workspace_ba.pending = None
         if ps.globalBAAfterLoop:
             global_bundle_adjust(current_keyframe.id, map_db, settings)
             workspace_ba.ba_stats.update(Ba.GLOBAL)

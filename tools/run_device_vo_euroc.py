@@ -38,7 +38,8 @@ from slam_tpu.geometry import se3
 
 
 def run(n_frames=120, n_sequences=2, drift=0.0015, chunk=8, seed=0,
-        progress=True, window=0, window_ba_every=4):
+        progress=True, window=0, window_ba_every=4, tile=0, preset="frozen",
+        lowe=None):
     import jax
     from slam_tpu.pipeline.device_vo import BatchedDeviceVO, DeviceVOConfig
 
@@ -49,7 +50,7 @@ def run(n_frames=120, n_sequences=2, drift=0.0015, chunk=8, seed=0,
     seqs = []
     t0 = time.perf_counter()
     for s in range(n_sequences):
-        scene = make_scene(seed + s)
+        scene = make_scene(seed + s, tile=tile)
         _, poses_cw = make_sequence(n_frames, seed + s)
         rng = np.random.default_rng(seed + s + 7)
         drift_rw = np.zeros(3)
@@ -73,15 +74,22 @@ def run(n_frames=120, n_sequences=2, drift=0.0015, chunk=8, seed=0,
     images = np.stack([s[2] for s in seqs])           # (S, N, H, W)
     deltas = np.stack([s[3] for s in seqs])           # (S, N, 4, 4)
 
-    # bounded-episode preset (see DeviceVOConfig docstring): the map
-    # persists for the whole episode and landmark depths stay at their
-    # creation anchor, so drift in later poses cannot be fed back into the
-    # map — measured best on this scene (0.155 m vs 0.166 m odometry ATE
-    # at drift sigma=0.008)
-    cfg = DeviceVOConfig(width=CAM.width, height=CAM.height,
-                         lm_capacity=512, max_keypoints=600,
-                         stale_age=n_frames, max_depth_step=0.0,
-                         window=window, window_ba_every=window_ba_every)
+    # presets: "frozen" = the bounded-episode preset (map persists for the
+    # whole episode, landmark depths stay at their creation anchor, so
+    # drift in later poses cannot feed back into the map — measured best
+    # on this scene: 0.155 m vs 0.166 m odometry ATE at drift=0.008);
+    # "default" = DeviceVOConfig defaults untouched except the required
+    # shapes — the configuration a user gets without tuning.
+    kw = dict(width=CAM.width, height=CAM.height,
+              lm_capacity=512, max_keypoints=600,
+              window=window, window_ba_every=window_ba_every)
+    if preset == "frozen":
+        kw.update(stale_age=n_frames, max_depth_step=0.0)
+    elif preset != "default":
+        raise ValueError(preset)
+    if lowe is not None:
+        kw.update(match_lowe_ratio=lowe)
+    cfg = DeviceVOConfig(**kw)
     vo = BatchedDeviceVO(cfg, batch=n_sequences, camera=CAM)
     p0 = np.stack([s[0][0] for s in seqs]).astype(np.float32)
     vo.reset(poses0_cw=p0)
@@ -114,7 +122,8 @@ def run(n_frames=120, n_sequences=2, drift=0.0015, chunk=8, seed=0,
 
     return {
         "frames": n_frames, "sequences": n_sequences, "drift": drift,
-        "window": window,
+        "window": window, "tile": tile, "preset": preset,
+        "lowe": lowe if lowe is not None else cfg.match_lowe_ratio,
         "per_sequence": per_seq,
         "ate_vo_m_mean": float(np.mean([x["ate_vo_m"] for x in per_seq])),
         "ate_odometry_m_mean": float(np.mean([x["ate_odometry_m"]
@@ -135,6 +144,12 @@ def main():
                     help="sliding-window size for the device-resident local"
                          " BA (0 = pose-only VO)")
     ap.add_argument("--window-ba-every", type=int, default=4)
+    ap.add_argument("--tile", type=int, default=0,
+                    help="repeating-texture world: motif tiled NxN per wall")
+    ap.add_argument("--preset", choices=("frozen", "default"),
+                    default="frozen")
+    ap.add_argument("--lowe", type=float, default=None,
+                    help="override match_lowe_ratio (1.0 = off)")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (ATE is platform-independent;"
                          " post-import config update per CLAUDE.md)")
@@ -144,7 +159,8 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     res = run(n_frames=args.frames, n_sequences=args.sequences,
               drift=args.drift, chunk=args.chunk, seed=args.seed,
-              window=args.window, window_ba_every=args.window_ba_every)
+              window=args.window, window_ba_every=args.window_ba_every,
+              tile=args.tile, preset=args.preset, lowe=args.lowe)
     print(json.dumps(res))
 
 
