@@ -610,6 +610,7 @@ def main():
         pipe = _guard(errors, "pipeline", bench_pipeline,
                       n_frames=18, n_passes=1)
         agg_sessions = 2
+        agg_by_n = {}
         agg_fps = _guard(errors, "aggregate", bench_aggregate,
                          n_sessions=agg_sessions, n_frames=12)
     else:
@@ -650,9 +651,19 @@ def main():
         frontend_ms = _guard(errors, "frontend", bench_frontend, n_reps=30)
         ba_ms = _guard(errors, "ba_solve", bench_ba_solve, n_reps=10)
         pipe = _guard(errors, "pipeline", bench_pipeline)
-        agg_sessions = 4
-        agg_fps = _guard(errors, "aggregate", bench_aggregate,
-                         n_sessions=agg_sessions)
+        # serving-session sweep: the interleaved-session path is bounded by
+        # the 1-core host (~30 ms Python/frame); the knee shows where the
+        # host saturates (docs/PERF_BASELINE.md ceiling analysis)
+        agg_by_n = {}
+        for n in (4, 8):
+            a = _guard(errors, f"aggregate_{n}", bench_aggregate,
+                       n_sessions=n)
+            if a is not None:
+                agg_by_n[str(n)] = round(a, 3)
+        agg_sessions, agg_fps = 4, None
+        if agg_by_n:
+            agg_sessions = int(max(agg_by_n, key=lambda k: agg_by_n[k]))
+            agg_fps = agg_by_n[str(agg_sessions)]
     fps, n_kfs, n_mps = pipe if pipe is not None else (None, None, None)
 
     # Headline = the production serving path: the device-resident batched VO
@@ -675,6 +686,7 @@ def main():
         "aggregate_keyframes_per_sec": _r(agg_fps),
         "aggregate_sessions": agg_sessions,
         "vs_baseline_aggregate": _r(agg_fps, baseline_fps),
+        "aggregate_by_sessions": agg_by_n if not fallback else None,
         "local_ba_ms_per_solve": _r(ba_ms),
         "frontend_ms_per_frame": _r(frontend_ms),
         "device_roundtrip_ms": _r(roundtrip_ms),

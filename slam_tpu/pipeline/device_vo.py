@@ -137,11 +137,18 @@ class DeviceVOConfig(NamedTuple):
     obs_weight_scale: float = 1.0
     maturity_ramp: float = 8.0
     maturity_floor: float = 0.125
-    # odometry-prior information weights, matching the interactive
-    # pipeline's odometryPriorStrengthPosition/Rotation defaults
-    # (mapper_helpers.cpp:911-956 semantics)
-    odom_pos_weight: float = 100.0
-    odom_rot_weight: float = 1000.0
+    # odometry-prior information weights (EdgeSE3Expmap information,
+    # mapper_helpers.cpp:911-956 semantics). DEFAULTS ARE MEASURED, not
+    # inherited from the interactive pipeline's 100/1000: the device path
+    # has no odometry-uncertainty input, so the fixed weight must keep the
+    # solve anchored to its prior until the map has earned trust. At
+    # 1000/10000 (with window=8) the VO beats the fed odometry at EVERY
+    # measured drift level on both the distinct-texture and the
+    # repeating-texture worlds (tools/sweep_device_vo.py matrix in
+    # RESULTS.md); at the old 100/1000 it lost to near-perfect odometry by
+    # 2x at low drift (VO noise floor unanchored).
+    odom_pos_weight: float = 1000.0
+    odom_rot_weight: float = 10000.0
     max_depth_step: float = 0.1          # per-observation relative depth move
     # sliding-window device-resident local BA (localBundleAdjust analogue,
     # bundle_adjuster.cpp:141-394, run entirely inside the jitted scan): a

@@ -772,11 +772,15 @@ def cull_map_points(current_keyframe: Keyframe, map_db: MapDB,
     observed = np.isin(ids, cur_vals[cur_vals >= 0])
     cand = (~observed) & (status != int(MapPointStatus.TRIANGULATED)) & (n_obs > 0)
     if cand.any():
-        first_t = np.zeros(len(ids))
-        for kf_val in np.unique(first_kf[cand]).tolist():
-            t = map_db.keyframes[KfId(kf_val)].t
-            first_t[first_kf == kf_val] = t
-        cand &= (current_keyframe.t - first_t) > parameters.minMapPointCullingAge
+        # gather creation times via unique+inverse over the candidate rows
+        # only (same lookup set as before): the previous per-unique
+        # boolean-mask loop was O(U x N) and super-linear in map size
+        uniq, inv = np.unique(first_kf[cand], return_inverse=True)
+        t_of = np.array([map_db.keyframes[KfId(int(v))].t for v in uniq])
+        old_enough = ((current_keyframe.t - t_of[inv])
+                      > parameters.minMapPointCullingAge)
+        cand_idx = np.flatnonzero(cand)
+        cand[cand_idx[~old_enough]] = False
     remove = cand | (n_obs == 0)
     for v in ids[remove].tolist():
         map_db.remove_map_point(map_db.map_points[MpId(v)])

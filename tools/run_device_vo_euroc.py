@@ -140,9 +140,9 @@ def main():
     ap.add_argument("--drift", type=float, default=0.0015)
     ap.add_argument("--chunk", type=int, default=8)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--window", type=int, default=0,
+    ap.add_argument("--window", type=int, default=8,
                     help="sliding-window size for the device-resident local"
-                         " BA (0 = pose-only VO)")
+                         " BA (0 = pose-only VO); 8 = measured-best default")
     ap.add_argument("--window-ba-every", type=int, default=4)
     ap.add_argument("--tile", type=int, default=0,
                     help="repeating-texture world: motif tiled NxN per wall")

@@ -201,6 +201,14 @@ def run(n_frames=620, drift=0.01, drift_yaw=4e-5, seed=0, viz="",
                   f"mps={len(mapper.map_db.map_points)} "
                   f"lc={len(mapper.map_db.loop_closure_edges)} "
                   f"mapper={np.mean(mapper_ms_trace[-50:]):.0f}ms", flush=True)
+        if stage_stats and i > 0 and i % 100 == 0:
+            # interval tables expose WHICH stages grow with map size (the
+            # cumulative end-of-run table blurs the scaling shape)
+            from slam_tpu.utils import timer
+            print(f"--- stage table, frames {i - 100}..{i} "
+                  f"(mps={len(mapper.map_db.map_points)})", flush=True)
+            print(timer.TIME_STATS.table(), flush=True)
+            timer.TIME_STATS.reset()
 
     traj_path = os.path.join("/tmp", "kitti_synth_traj.csv")
     mapper.end(traj_path)

@@ -38,6 +38,21 @@ VARIANTS = {
     "default+lowe0.9": {"match_lowe_ratio": 0.9},
     "default+window8": {"window": 8},
     "frozen": {"stale_age": None, "max_depth_step": 0.0},  # stale_age->N
+    # odometry-prior weighting experiments on the window8 base: at low
+    # drift the VO noise floor exceeds the odometry error, so the solve
+    # must stay anchored to its prior until the map has earned trust
+    "w8+odo300": {"window": 8, "odom_pos_weight": 300.0,
+                  "odom_rot_weight": 3000.0},
+    "w8+odo1000": {"window": 8, "odom_pos_weight": 1000.0,
+                   "odom_rot_weight": 10000.0},
+    "w8+obs0.5": {"window": 8, "obs_weight_scale": 0.5},
+    "w8+odo300+obs0.5": {"window": 8, "odom_pos_weight": 300.0,
+                         "odom_rot_weight": 3000.0, "obs_weight_scale": 0.5},
+    "w8+lowe0.9": {"window": 8, "match_lowe_ratio": 0.9},
+    "w8+maturity": {"window": 8, "window_maturity_weight": True},
+    "w8+maturity+odo300": {"window": 8, "window_maturity_weight": True,
+                           "odom_pos_weight": 300.0,
+                           "odom_rot_weight": 3000.0},
 }
 
 
