@@ -103,8 +103,12 @@ def _popcount_table() -> np.ndarray:
 
 def hamming_matrix_host(desc1: np.ndarray, desc2: np.ndarray) -> np.ndarray:
     """Host NumPy N x M distance matrix (for small problems / tests)."""
-    a = np.asarray(desc1, np.uint32).view(np.uint8).reshape(len(desc1), 32)
-    b = np.asarray(desc2, np.uint32).view(np.uint8).reshape(len(desc2), 32)
+    # ascontiguousarray: device_get of a sliced device buffer can hand back
+    # non-contiguous rows, and .view(uint8) requires a contiguous last axis
+    a = np.ascontiguousarray(desc1, np.uint32).view(np.uint8).reshape(
+        len(desc1), 32)
+    b = np.ascontiguousarray(desc2, np.uint32).view(np.uint8).reshape(
+        len(desc2), 32)
     t = _popcount_table()
     out = np.zeros((len(a), len(b)), dtype=np.int32)
     for k in range(32):

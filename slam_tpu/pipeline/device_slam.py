@@ -193,7 +193,13 @@ class DeviceSlam:
     # ------------------------------------------------------------------
 
     def _consume(self, out, offset: int, late_corr: dict) -> None:
-        poses = np.asarray(jax.device_get(out.pose_cw))      # (S, T, 4, 4)
+        # ONE transfer for everything this chunk needs on host (each
+        # separate device_get costs a full tunnel round trip)
+        poses, loop_frame, loop_score = jax.device_get(
+            (out.pose_cw, out.loop_frame, out.loop_score))
+        poses = np.asarray(poses)                            # (S, T, 4, 4)
+        out = out._replace(pose_cw=poses, loop_frame=np.asarray(loop_frame),
+                           loop_score=np.asarray(loop_score))
         for s in range(self.batch):
             Tc = late_corr.get(s)
             if Tc is not None:
@@ -204,7 +210,7 @@ class DeviceSlam:
         # revisit-free), then finalize once the segment is past
         p = self.params
         if p.min_loop_score is None:
-            scores = np.asarray(jax.device_get(out.loop_score))  # (S, T)
+            scores = np.asarray(out.loop_score)              # (S, T), host
             T = scores.shape[1]
             for s in range(self.batch):
                 if self._score_gate[s] is not None:
@@ -265,15 +271,17 @@ class DeviceSlam:
 
     # ------------------------------------------------------------------
 
-    def _snapshot(self, seq: int, frame: int):
-        slot = (frame // self.cfg.loop_every) % self.cfg.loop_slots
+    def _snapshots(self, seq: int, frame_q: int, frame_c: int):
+        """Fetch BOTH closure snapshots in ONE device transfer."""
         st = self.vo.state
-        return jax.device_get((st.sig_frame[seq, slot],
-                               st.sig_pc[seq, slot],
-                               st.sig_desc[seq, slot],
-                               st.sig_obs[seq, slot],
-                               st.sig_pvalid[seq, slot],
-                               st.sig_pose[seq, slot]))
+        rows = []
+        for frame in (frame_q, frame_c):
+            slot = (frame // self.cfg.loop_every) % self.cfg.loop_slots
+            rows.append((st.sig_frame[seq, slot], st.sig_pc[seq, slot],
+                         st.sig_desc[seq, slot], st.sig_obs[seq, slot],
+                         st.sig_pvalid[seq, slot], st.sig_pose[seq, slot]))
+        got = jax.device_get(tuple(rows))
+        return got[0], got[1]
 
     def _try_close(self, seq: int, q: int, c: int,
                    score: float) -> ClosureEvent:
@@ -283,8 +291,8 @@ class DeviceSlam:
             return ClosureEvent(seq, q, c, score, n_matches, n_inliers,
                                 False, reason, None)
 
-        fq, pc_q, desc_q, obs_q, val_q, pose_q = self._snapshot(seq, q)
-        fc, pc_c, desc_c, obs_c, val_c, pose_c = self._snapshot(seq, c)
+        ((fq, pc_q, desc_q, obs_q, val_q, pose_q),
+         (fc, pc_c, desc_c, obs_c, val_c, pose_c)) = self._snapshots(seq, q, c)
         if int(fq) != q or int(fc) != c:
             return rej("ring_overwritten")
 
