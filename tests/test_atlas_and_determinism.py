@@ -138,7 +138,10 @@ class TestScale:
         import time as _time
 
         n_frames = 520
-        world = make_world(n_frames=n_frames, n_landmarks=6000,
+        # 20k landmarks: the surviving map must reach the >=20k-point regime
+        # the round-3 KITTI run hit (RESULTS.md config 5) so the bound below
+        # covers the scale where super-linear host stages actually bite
+        world = make_world(n_frames=n_frames, n_landmarks=20000,
                            trajectory="line", odom_noise=0.001, seed=13)
         # every frame becomes a keyframe (covisibility gate disabled) and
         # culling is off: the synthetic line world has high inter-frame
@@ -158,9 +161,11 @@ class TestScale:
             frame_ms[i] = 1e3 * (_time.perf_counter() - t0)
         db = mapper.map_db
         assert len(db.keyframes) >= 500, len(db.keyframes)
+        assert len(db.map_points) >= 20000, len(db.map_points)
         check_consistency(db)
         # warmup (compiles, first bucket transitions) lives in the first
-        # quarter; steady state must not degrade as K quadruples
+        # quarter; steady state must not degrade as K quadruples and the
+        # map crosses 20k points
         early = np.median(frame_ms[n_frames // 4: n_frames // 2])
         late = np.median(frame_ms[-n_frames // 4:])
         assert late < 2.5 * early, (early, late)
