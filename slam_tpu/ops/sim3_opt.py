@@ -106,6 +106,113 @@ def _optimize_body(R0, t0, s0, pts1, pts2, obs1, obs2, w1, w2, valid,
     return R, t, s
 
 
+def _residuals_np(delta, R, t, s, pts1, pts2, obs1, obs2, w1, w2):
+    """NumPy twin of :func:`_residuals` (all rows valid — no padding on
+    host; float64 throughout)."""
+    dR = _so3_exp_np(delta[:3])
+    Rn, tn, sn = dR @ R, t + delta[3:6], s * np.exp(delta[6])
+    p_in_1 = sn * (pts2 @ Rn.T) + tn
+    z1 = np.where(np.abs(p_in_1[:, 2]) > 1e-6, p_in_1[:, 2], 1e-6)
+    e12 = (obs1 - p_in_1[:, :2] / z1[:, None]) * w1[:, None]
+    sinv = 1.0 / sn
+    Rinv = Rn.T
+    tinv = -sinv * (Rinv @ tn)
+    p_in_2 = sinv * (pts1 @ Rinv.T) + tinv
+    z2 = np.where(np.abs(p_in_2[:, 2]) > 1e-6, p_in_2[:, 2], 1e-6)
+    e21 = (obs2 - p_in_2[:, :2] / z2[:, None]) * w2[:, None]
+    return np.concatenate([e12, e21], axis=0)
+
+
+def _so3_exp_np(omega):
+    theta = np.linalg.norm(omega)
+    wx = np.array([[0.0, -omega[2], omega[1]],
+                   [omega[2], 0.0, -omega[0]],
+                   [-omega[1], omega[0], 0.0]])
+    if theta < 1e-12:
+        return np.eye(3) + wx
+    K = wx / theta
+    return np.eye(3) + np.sin(theta) * K + (1 - np.cos(theta)) * (K @ K)
+
+
+def optimize_sim3_transform_host(rot_12, trans_12, scale_12,
+                                 pts1_cam, pts2_cam, obs1, obs2,
+                                 sigma_sq1, sigma_sq2,
+                                 inlier_threshold: float, fix_scale: bool,
+                                 iterations: int = 20):
+    """Host NumPy twin of :func:`optimize_sim3_transform`.
+
+    Same LM (Huber weights, damping schedule, accept/reject, fixed-scale
+    row masking) over the same 7-vector chart; the Jacobian comes from
+    central differences in float64 instead of forward-mode autodiff. The
+    problem is one 7-dof transform against <= a few hundred point pairs —
+    microseconds on host, while the device dispatch costs a tunnel round
+    trip (~26 ms); the serving-path closure consumer
+    (pipeline/device_slam.py) therefore refines here.
+    """
+    n = len(pts1_cam)
+    if n == 0:
+        return rot_12, trans_12, scale_12
+    R = np.asarray(rot_12, np.float64)
+    t = np.asarray(trans_12, np.float64)
+    s = float(scale_12)
+    pts1 = np.asarray(pts1_cam, np.float64).reshape(n, 3)
+    pts2 = np.asarray(pts2_cam, np.float64).reshape(n, 3)
+    obs1 = np.asarray(obs1, np.float64).reshape(n, 2)
+    obs2 = np.asarray(obs2, np.float64).reshape(n, 2)
+    w1 = np.sqrt(np.asarray(sigma_sq1, np.float64))
+    w2 = np.sqrt(np.asarray(sigma_sq2, np.float64))
+    huber = float(np.sqrt(inlier_threshold))
+    d2 = huber * huber
+
+    def cost_of(R, t, s):
+        r = _residuals_np(np.zeros(7), R, t, s, pts1, pts2, obs1, obs2,
+                          w1, w2)
+        chi2 = np.sum(r * r, axis=1)
+        rho = np.where(chi2 <= d2, chi2,
+                       2.0 * huber * np.sqrt(np.maximum(chi2, 1e-12)) - d2)
+        return float(np.sum(rho))
+
+    lam = 1e-4
+    cost = cost_of(R, t, s)
+    eps = 1e-6
+    for _ in range(int(iterations)):
+        r0 = _residuals_np(np.zeros(7), R, t, s, pts1, pts2, obs1, obs2,
+                           w1, w2)
+        J = np.empty((r0.shape[0], 2, 7))
+        for k in range(7):
+            dp = np.zeros(7)
+            dp[k] = eps
+            rp = _residuals_np(dp, R, t, s, pts1, pts2, obs1, obs2, w1, w2)
+            rm = _residuals_np(-dp, R, t, s, pts1, pts2, obs1, obs2, w1, w2)
+            J[:, :, k] = (rp - rm) / (2 * eps)
+        chi2 = np.sum(r0 * r0, axis=1)
+        wq = np.sqrt(np.minimum(
+            1.0, huber / np.sqrt(np.maximum(chi2, 1e-12))))[:, None]
+        Jf = (J * wq[:, :, None]).reshape(-1, 7)
+        rf = (r0 * wq).reshape(-1)
+        H = Jf.T @ Jf + lam * np.eye(7)
+        g = -Jf.T @ rf
+        if fix_scale:
+            H[6, :] = 0.0
+            H[:, 6] = 0.0
+            H[6, 6] = 1.0
+            g[6] = 0.0
+        try:
+            delta = np.linalg.solve(H, g)
+        except np.linalg.LinAlgError:
+            lam = min(lam * 4.0, 1e6)
+            continue
+        dR = _so3_exp_np(delta[:3])
+        Rn, tn, sn = dR @ R, t + delta[3:6], s * np.exp(delta[6])
+        new_cost = cost_of(Rn, tn, sn)
+        if new_cost < cost:
+            R, t, s, cost = Rn, tn, sn, new_cost
+            lam = max(lam * 0.5, 1e-9)
+        else:
+            lam = min(lam * 4.0, 1e6)
+    return R, t, float(s)
+
+
 def optimize_sim3_transform(rot_12: np.ndarray, trans_12: np.ndarray,
                             scale_12: float,
                             pts1_cam: np.ndarray, pts2_cam: np.ndarray,

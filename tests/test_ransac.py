@@ -190,3 +190,175 @@ class TestSim3Ransac:
         r2 = lr.solve(iterations=50, seed=123)
         assert np.array_equal(r1.inliers, r2.inliers)
         assert np.allclose(r1.rot_12, r2.rot_12)
+
+
+class TestSim3RansacHost:
+    """NumPy twin of the Sim3 RANSAC (ransac.sim3_ransac_host): the closure
+    consumer's latency-bound path. Must be behaviorally equivalent to the
+    device bank — same Horn math, same symmetric chi2 gate."""
+
+    def _scene(self, n=40, outliers=8, seed=11):
+        rng = np.random.default_rng(seed)
+        cam = default_camera()
+        pts1 = rng.uniform([-1.5, -1.0, 3.0], [1.5, 1.0, 7.0], (n, 3))
+        R21 = se3.so3_exp(np.array([0.03, 0.5, -0.02]))
+        t21 = np.array([0.4, -0.2, 0.5])
+        pts2 = pts1 @ R21.T + t21
+        pts2[:outliers] += rng.uniform(1.0, 2.0, (outliers, 3))
+        return cam, pts1, pts2, R21, t21
+
+    def test_recovers_transform_with_outliers(self):
+        cam, pts1, pts2, R21, t21 = self._scene()
+        n = len(pts1)
+        res = ransac.sim3_ransac_host(cam, cam, pts1, pts2,
+                                      np.ones(n), np.ones(n),
+                                      iterations=200, dof="SIM3",
+                                      fix_scale=True, min_inliers=15)
+        assert res.ok
+        assert res.num_inliers >= 25
+        R21_est = res.rot_12.T
+        t21_est = -R21_est @ res.trans_12
+        assert np.abs(R21_est - R21).max() < 0.02
+        assert np.linalg.norm(t21_est - t21) < 0.1
+        # outlier rows must not be inliers of the winner
+        assert res.inliers[:8].sum() == 0
+
+    def test_matches_device_impl(self):
+        """Host and device RANSAC must agree on the recovered transform
+        (independent sampling, same clean consensus set)."""
+        cam, pts1, pts2, _, _ = self._scene()
+        n = len(pts1)
+        host = ransac.sim3_ransac_host(cam, cam, pts1, pts2,
+                                       np.ones(n), np.ones(n),
+                                       iterations=200, fix_scale=True,
+                                       min_inliers=15)
+        dev = ransac.Sim3Ransac(cam, cam, pts1, pts2,
+                                np.ones(n), np.ones(n)).solve(
+            200, dof="SIM3", fix_scale=True, min_inliers=15)
+        assert host.ok and dev.ok
+        assert np.abs(host.rot_12 - dev.rot_12).max() < 5e-3
+        assert np.linalg.norm(host.trans_12 - dev.trans_12) < 5e-2
+        # inlier sets agree on the clean rows
+        assert (host.inliers[8:] == dev.inliers[8:]).mean() > 0.9
+
+    def test_zrot_and_scale(self):
+        rng = np.random.default_rng(13)
+        cam = default_camera()
+        n = 30
+        pts1 = rng.uniform([-1.5, -1.0, 3.0], [1.5, 1.0, 7.0], (n, 3))
+        R21 = se3.so3_exp(np.array([0.0, 0.0, 0.3]))
+        t21 = np.array([0.2, 0.1, -0.1])
+        pts2 = pts1 @ R21.T + t21
+        res = ransac.sim3_ransac_host(cam, cam, pts1, pts2,
+                                      np.ones(n), np.ones(n),
+                                      iterations=100, dof="ZROT",
+                                      fix_scale=True, min_inliers=15)
+        assert res.ok
+        assert np.abs(res.rot_12.T - R21).max() < 0.02
+        # free scale recovers a scaled correspondence set
+        s_true = 1.2
+        res_s = ransac.sim3_ransac_host(cam, cam, pts1, s_true * (pts1 @ R21.T) + t21,
+                                        np.ones(n), np.ones(n),
+                                        iterations=100, dof="SIM3",
+                                        fix_scale=False, min_inliers=15)
+        assert res_s.ok
+        assert abs(1.0 / res_s.scale_12 - s_true) < 0.02
+
+    def test_per_octave_sigma_gate(self):
+        """The chi2 inlier gate scales with per-match levelSigmaSq
+        (reference: loop_ransac.cpp:28-40): a match whose reprojection
+        noise exceeds the level-0 gate must be an inlier at a coarser
+        octave's sigma — and host/device must agree on the decision."""
+        rng = np.random.default_rng(21)
+        cam = default_camera()
+        n = 30
+        pts1 = rng.uniform([-1.0, -0.8, 3.0], [1.0, 0.8, 6.0], (n, 3))
+        pts2 = pts1.copy()
+        # perturb one point by ~5 px at its depth (gate at sigma=1 is
+        # sqrt(9.21) ~ 3 px; at sigma_sq = 1.2^(2*4) ~ 4.3 -> ~6.3 px)
+        f = cam.fx
+        pts2[0, 0] += 5.0 * pts2[0, 2] / f
+        sig_lo = np.ones(n)
+        sig_hi = np.ones(n)
+        sig_hi[0] = 1.2 ** 8
+        res_lo = ransac.sim3_ransac_host(cam, cam, pts1, pts2, sig_lo,
+                                         sig_lo, iterations=100,
+                                         fix_scale=True, min_inliers=10)
+        res_hi = ransac.sim3_ransac_host(cam, cam, pts1, pts2, sig_hi,
+                                         sig_hi, iterations=100,
+                                         fix_scale=True, min_inliers=10)
+        assert res_lo.ok and res_hi.ok
+        assert not res_lo.inliers[0]
+        assert res_hi.inliers[0]
+        dev_lo = ransac.Sim3Ransac(cam, cam, pts1, pts2, sig_lo,
+                                   sig_lo).solve(100, fix_scale=True,
+                                                 min_inliers=10)
+        dev_hi = ransac.Sim3Ransac(cam, cam, pts1, pts2, sig_hi,
+                                   sig_hi).solve(100, fix_scale=True,
+                                                 min_inliers=10)
+        assert not dev_lo.inliers[0]
+        assert dev_hi.inliers[0]
+
+    def test_insufficient_matches(self):
+        cam = default_camera()
+        pts = np.array([[0.0, 0.0, 3.0], [1.0, 0.0, 3.0]])
+        res = ransac.sim3_ransac_host(cam, cam, pts, pts, np.ones(2),
+                                      np.ones(2), iterations=10,
+                                      min_inliers=5)
+        assert not res.ok
+
+    def test_deterministic_given_seed(self):
+        rng = np.random.default_rng(17)
+        cam = default_camera()
+        pts1 = rng.uniform([-1, -1, 3], [1, 1, 6], (25, 3))
+        pts2 = pts1 + rng.normal(0, 0.01, pts1.shape)
+        r1 = ransac.sim3_ransac_host(cam, cam, pts1, pts2, np.ones(25),
+                                     np.ones(25), iterations=50, seed=123)
+        r2 = ransac.sim3_ransac_host(cam, cam, pts1, pts2, np.ones(25),
+                                     np.ones(25), iterations=50, seed=123)
+        assert np.array_equal(r1.inliers, r2.inliers)
+        assert np.allclose(r1.rot_12, r2.rot_12)
+
+
+class TestSim3RefineHost:
+    """NumPy twin of the Sim3 refinement (sim3_opt.optimize_sim3_transform_host)."""
+
+    def test_refines_and_matches_device(self):
+        from slam_tpu.ops.sim3_opt import (optimize_sim3_transform,
+                                           optimize_sim3_transform_host)
+        rng = np.random.default_rng(9)
+        n = 40
+        pts2 = rng.uniform([-1, -1, 3], [1, 1, 7], (n, 3))
+        R_true = se3.so3_exp(np.array([0.05, 0.3, -0.04]))
+        t_true = np.array([0.3, -0.1, 0.4])
+        pts1 = pts2 @ R_true.T + t_true
+        obs1 = pts1[:, :2] / pts1[:, 2:3]
+        obs2 = pts2[:, :2] / pts2[:, 2:3]
+        R0 = se3.so3_exp(np.array([0.02, -0.03, 0.01])) @ R_true
+        t0 = t_true + np.array([0.05, -0.04, 0.06])
+        R, t, s = optimize_sim3_transform_host(
+            R0, t0, 1.0, pts1, pts2, obs1, obs2,
+            np.ones(n), np.ones(n), inlier_threshold=10.0, fix_scale=True)
+        assert np.abs(R - R_true).max() < 5e-3
+        assert np.linalg.norm(t - t_true) < 2e-2
+        assert abs(s - 1.0) < 1e-9
+        Rd, td, sd = optimize_sim3_transform(
+            R0, t0, 1.0, pts1, pts2, obs1, obs2,
+            np.ones(n), np.ones(n), inlier_threshold=10.0, fix_scale=True)
+        assert np.abs(R - Rd).max() < 5e-3
+        assert np.linalg.norm(t - td) < 2e-2
+
+    def test_scale_estimation(self):
+        from slam_tpu.ops.sim3_opt import optimize_sim3_transform_host
+        rng = np.random.default_rng(10)
+        n = 30
+        pts2 = rng.uniform([-1, -1, 3], [1, 1, 7], (n, 3))
+        s_true = 1.25
+        pts1 = s_true * pts2 + np.array([0.1, 0.0, 0.2])
+        obs1 = pts1[:, :2] / pts1[:, 2:3]
+        obs2 = pts2[:, :2] / pts2[:, 2:3]
+        R, t, s = optimize_sim3_transform_host(
+            np.eye(3), np.array([0.08, 0.01, 0.15]), 1.1,
+            pts1, pts2, obs1, obs2, np.ones(n), np.ones(n),
+            inlier_threshold=10.0, fix_scale=False)
+        assert abs(s - s_true) < 0.02
