@@ -338,16 +338,23 @@ def bench_device_vo(n_sequences=4, chunk=8, n_chunks=6, width=640, height=480,
     return best
 
 
-def bench_device_slam(n_sequences=4, chunk=8, n_chunks=6, width=640,
-                      height=480):
+def bench_device_slam(n_sequences=4, chunk=8, session_lens=(48, 128, 256),
+                      width=640, height=480):
     """Full device-SLAM backend throughput, loop closure included.
 
     The device-resident scan (VO + in-scan sliding-window local BA + in-scan
     loop-candidate retrieval) PLUS the host loop-closure consumer
-    (pipeline/device_slam.py: snapshot matching -> Sim3 RANSAC -> refinement
-    -> drift gates -> trajectory correction -> device-state rebase), measured
-    end-to-end over a square-loop world whose second lap genuinely revisits —
-    accepted closures and their rebases land inside the timed region."""
+    (pipeline/device_slam.py: host-mirrored snapshot matching -> host Sim3
+    RANSAC -> refinement -> drift gates -> trajectory correction ->
+    device-state rebase + duplicate merge), measured end-to-end over
+    multi-lap square-loop worlds whose revisits genuinely close — accepted
+    closures and their rebases land inside the timed region.
+
+    Measured over a SESSION-LENGTH AXIS (closure cost amortizes over longer
+    sessions); the headline is best-of-3 at the longest session, shorter
+    lengths best-of-2. Also reports the closure count of the best run and
+    the mean closure lag (frames between the flagged query and the applied
+    rebase — the documented one-chunk consumer lag, measured)."""
     import jax
     from slam_tpu.pipeline.device_vo import DeviceVOConfig
     from slam_tpu.pipeline.device_slam import DeviceSlam, DeviceSlamParams
@@ -355,66 +362,84 @@ def bench_device_slam(n_sequences=4, chunk=8, n_chunks=6, width=640,
     sys.path.insert(0, os.path.join(os.path.dirname(__file__), "tests"))
     from synthetic_world import make_world, default_camera
 
-    total_frames = chunk * n_chunks
-    lap = total_frames // 2
     cam = default_camera(width, height)
-    worlds = [make_world(n_frames=total_frames, n_landmarks=500, seed=30 + s,
-                         trajectory="loop", lap_frames=lap, camera=cam)
-              for s in range(n_sequences)]
-    rng = np.random.default_rng(31)
-    patch_sets = [rng.integers(40, 255, (500, 11, 11)).astype(np.uint8)
-                  for _ in range(n_sequences)]
-
-    def seq_arrays(world, patches):
-        frames = np.stack([render_frame(world, patches, i, width, height)
-                           for i in range(total_frames)])
-        deltas = np.stack(
-            [np.eye(4, dtype=np.float32)]
-            + [(world.poses_cw[i] @ np.linalg.inv(world.poses_cw[i - 1]))
-               .astype(np.float32) for i in range(1, total_frames)])
-        return frames, deltas
-
-    # constant vertical odometry bias (accumulates ~0.1 m by the revisit):
-    # drift-free odometry would make every correction ~0 and trip the
-    # reference's unnecessary-correction gate — the bench must exercise the
-    # ACCEPTED-closure path, rebase included (see
-    # TestDeviceLoopClosure for the accuracy-side verification)
-    bias = np.eye(4, dtype=np.float32)
-    bias[1, 3] = 2e-3
-    data = [seq_arrays(w, p) for w, p in zip(worlds, patch_sets)]
-    images = np.stack([d[0] for d in data])
-    deltas = np.stack([d[1] for d in data])
-    deltas[:, 1:] = np.einsum("ij,stjk->stik", bias, deltas[:, 1:])
-
     cfg = DeviceVOConfig(width=width, height=height, lm_capacity=512,
                          max_keypoints=600, window=8,
                          window_ba_every=min(4, chunk),
                          loop_every=4, loop_slots=32, loop_words=512,
                          loop_min_gap=16, loop_min_score=0.9,
                          loop_points=192)
-    params = DeviceSlamParams(frame_dt=0.1, min_closure_gap_s=2.0,
-                              calib_frames=min(20, lap - 4))
-    cam0 = worlds[0].camera
+    # constant vertical odometry bias (~2 mm/frame): drift-free odometry
+    # would make every correction ~0 and trip the reference's
+    # unnecessary-correction gate — the bench must exercise the
+    # ACCEPTED-closure path, rebase + merge included (see
+    # TestDeviceLoopClosure for the accuracy-side verification)
+    bias = np.eye(4, dtype=np.float32)
+    bias[1, 3] = 2e-3
 
-    def run():
-        slam = DeviceSlam(cfg, batch=n_sequences, camera=cam0, params=params)
-        p0 = np.stack([w.poses_cw[0] for w in worlds]).astype(np.float32)
-        slam.vo.state = slam.vo.state._replace(pose_cw=p0, prev_pose_cw=p0)
-        for c in range(n_chunks):
-            sl = slice(c * chunk, (c + 1) * chunk)
-            slam.advance(images[:, sl], deltas[:, sl])
-        slam.finish()
-        return slam
+    by_len = {}
+    head_fps, head_closed, lags = 0.0, 0, []
+    warmed = False
+    for total_frames in sorted(session_lens):
+        lap = min(64, total_frames // 2)    # >= 2 laps at every length
+        n_chunks = total_frames // chunk
+        worlds = [make_world(n_frames=total_frames, n_landmarks=500,
+                             seed=30 + s, trajectory="loop", lap_frames=lap,
+                             camera=cam) for s in range(n_sequences)]
+        rng = np.random.default_rng(31)
+        patch_sets = [rng.integers(40, 255, (500, 11, 11)).astype(np.uint8)
+                      for _ in range(n_sequences)]
 
-    run()                        # warmup: scan + closure-stack compiles
-    best, n_closed = 0.0, 0
-    for _ in range(2):           # best-of-2: tunnel swings dominate variance
-        t0 = time.perf_counter()
-        slam = run()
-        dt = time.perf_counter() - t0
-        best = max(best, n_sequences * total_frames / dt)
-        n_closed = sum(1 for e in slam.closures if e.accepted)
-    return best, n_closed
+        def seq_arrays(world, patches):
+            frames = np.stack([render_frame(world, patches, i, width, height)
+                               for i in range(total_frames)])
+            deltas = np.stack(
+                [np.eye(4, dtype=np.float32)]
+                + [(world.poses_cw[i] @ np.linalg.inv(world.poses_cw[i - 1]))
+                   .astype(np.float32) for i in range(1, total_frames)])
+            return frames, deltas
+
+        data = [seq_arrays(w, p) for w, p in zip(worlds, patch_sets)]
+        images = np.stack([d[0] for d in data])
+        deltas = np.stack([d[1] for d in data])
+        deltas[:, 1:] = np.einsum("ij,stjk->stik", bias, deltas[:, 1:])
+        params = DeviceSlamParams(frame_dt=0.1, min_closure_gap_s=2.0,
+                                  calib_frames=min(20, lap - 4))
+
+        def run():
+            slam = DeviceSlam(cfg, batch=n_sequences, camera=cam,
+                              params=params)
+            p0 = np.stack([w.poses_cw[0]
+                           for w in worlds]).astype(np.float32)
+            slam.vo.state = slam.vo.state._replace(pose_cw=p0,
+                                                   prev_pose_cw=p0)
+            for c in range(n_chunks):
+                sl = slice(c * chunk, (c + 1) * chunk)
+                slam.advance(images[:, sl], deltas[:, sl])
+            slam.finish()
+            return slam
+
+        if not warmed:
+            run()                # warmup: scan + rebase-dispatch compiles
+            warmed = True
+        is_head = total_frames == max(session_lens)
+        best, best_closed, best_lags = 0.0, 0, []
+        for _ in range(3 if is_head else 2):   # best-of-N: tunnel swings
+            t0 = time.perf_counter()
+            slam = run()
+            dt = time.perf_counter() - t0
+            fps = n_sequences * total_frames / dt
+            if fps > best:
+                # closure count/lags tracked FROM THE BEST RUN so the
+                # reported throughput and closures describe the same run
+                best = fps
+                best_closed = sum(1 for e in slam.closures if e.accepted)
+                best_lags = list(slam.closure_lags)
+        by_len[str(total_frames)] = round(best, 3)
+        if is_head:
+            head_fps, head_closed, lags = best, best_closed, best_lags
+    lag = round(float(np.mean(lags)), 1) if lags else None
+    return head_fps, head_closed, by_len, lag
 
 
 def bench_roundtrip(n_reps=30):
@@ -517,7 +542,10 @@ def _provenance(platform, fresh):
 
     return {
         "platform": platform,
-        "fresh": fresh,          # False = value carried from the cached seed
+        # fresh=True: values measured by THIS run (the `platform` key says
+        # on what hardware); fresh=False: values carried from the cached
+        # real-TPU seed of a previous run (probe-failed lines only)
+        "fresh": fresh,
         "jax": _ver("jax"),
         "jaxlib": _ver("jaxlib"),
         "recorded_at": time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime()),
@@ -605,6 +633,8 @@ def main():
                                width=320, height=240)
         device_slam_fps = None  # skipped on the CPU fallback (compile cost)
         device_slam_closures = None
+        ds_by_len = None
+        closure_lag = None
         frontend_ms = _guard(errors, "frontend", bench_frontend, n_reps=3)
         ba_ms = _guard(errors, "ba_solve", bench_ba_solve, n_reps=3)
         pipe = _guard(errors, "pipeline", bench_pipeline,
@@ -626,13 +656,27 @@ def main():
         vo8 = _guard(errors, "device_vo_s8", bench_device_vo, n_sequences=8)
         if vo8 is not None and (device_vo_fps is None or vo8 > device_vo_fps):
             device_vo_fps = vo8
+        # first early line: the headline exists — emit before the (longer)
+        # device-SLAM session sweep so an expiring driver budget still
+        # records a fresh real-TPU number
+        _emit({
+            "metric": "device_vo_keyframes_per_sec",
+            "value": _r(device_vo_fps), "unit": "fps",
+            "vs_baseline": _r(device_vo_fps, baseline_fps),
+            "platform": platform,
+            "device_roundtrip_ms": _r(roundtrip_ms),
+            "partial": True,
+            "provenance": _provenance(platform, fresh=True),
+        })
         # same backend WITH the device-resident sliding-window local BA
         # (joint pose+landmark LM every 4 frames inside the scan), in-scan
         # loop-candidate retrieval AND the host loop-closure consumer cost
         # amortized in (pipeline/device_slam.py) — the full device-SLAM
-        # backend, measured over a loop world whose revisit actually closes
+        # backend, swept over session lengths on multi-lap loop worlds
+        # whose revisits actually close
         ds = _guard(errors, "device_slam", bench_device_slam)
-        device_slam_fps, device_slam_closures = ds if ds else (None, None)
+        device_slam_fps, device_slam_closures, ds_by_len, closure_lag = \
+            ds if ds else (None, None, None, None)
         early = {
             "metric": "device_vo_keyframes_per_sec",
             "value": _r(device_vo_fps), "unit": "fps",
@@ -641,6 +685,8 @@ def main():
             "device_slam_keyframes_per_sec": _r(device_slam_fps),
             "vs_baseline_device_slam": _r(device_slam_fps, baseline_fps),
             "device_slam_closures": device_slam_closures,
+            "device_slam_by_session_len": ds_by_len,
+            "closure_lag_frames": closure_lag,
             "device_roundtrip_ms": _r(roundtrip_ms),
             "partial": True,
             "provenance": _provenance(platform, fresh=True),
@@ -681,6 +727,8 @@ def main():
         "device_slam_keyframes_per_sec": _r(device_slam_fps),
         "vs_baseline_device_slam": _r(device_slam_fps, baseline_fps),
         "device_slam_closures": device_slam_closures,
+        "device_slam_by_session_len": ds_by_len,
+        "closure_lag_frames": closure_lag,
         "interactive_keyframes_per_sec": _r(fps),
         "vs_baseline_interactive": _r(fps, baseline_fps),
         "aggregate_keyframes_per_sec": _r(agg_fps),
@@ -692,7 +740,9 @@ def main():
         "device_roundtrip_ms": _r(roundtrip_ms),
         "map_keyframes": n_kfs,
         "map_points": n_mps,
-        "provenance": _provenance(platform, fresh=not fallback),
+        # fresh=True even on the CPU fallback: these values WERE measured by
+        # this run — `platform` distinguishes the hardware (advisor r4)
+        "provenance": _provenance(platform, fresh=True),
     }
     if errors:
         out["errors"] = errors

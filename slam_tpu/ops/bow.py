@@ -204,6 +204,17 @@ class BowIndex:
     def __len__(self) -> int:
         return self._n_alive
 
+    @staticmethod
+    def score(a_shared, b_shared) -> float:
+        """Cosine similarity of two keyframes' sparse BoW signatures (the
+        quantity get_bow_similar accumulates per candidate; exposed for
+        gate-margin analysis, e.g. tools/eval_vocab_transfer.py)."""
+        aw, av = a_shared.bow_signature
+        bw, bv = b_shared.bow_signature
+        ia = {int(w): float(v) for w, v in zip(aw.tolist(), av.tolist())}
+        return float(sum(ia.get(int(w), 0.0) * float(v)
+                         for w, v in zip(bw.tolist(), bv.tolist())))
+
     # ------------------------------------------------------------------
 
     @timed

@@ -29,6 +29,7 @@ Every numeric stage is a production kernel:
 """
 from __future__ import annotations
 
+import functools
 from typing import NamedTuple, Optional, Tuple
 
 import jax
@@ -67,6 +68,15 @@ class VOState(NamedTuple):
     lm_anchor_ray: jnp.ndarray     # (M, 3) unit world ray at creation
     lm_depth: jnp.ndarray          # (M,) depth along the anchor ray
     lm_n_obs: jnp.ndarray          # (M,) observation count
+    lm_octave: jnp.ndarray         # (M,) pyramid octave of the latest
+    #                                observation's keypoint (per-observation
+    #                                levelSigmaSq for the closure gates,
+    #                                loop_ransac.cpp:28-40)
+    lm_created: jnp.ndarray        # (M,) frame index at creation: the
+    #                                "corrected region" predicate of
+    #                                correctLoop (loop_closer.cpp:492-506 —
+    #                                only map points of the corrected
+    #                                keyframes are re-expressed)
     prev_pts: jnp.ndarray       # (N, 2) previous frame keypoints
     prev_desc: jnp.ndarray      # (N, 8) previous frame descriptors
     prev_free: jnp.ndarray      # (N,) prev keypoints not matched to the map
@@ -93,6 +103,24 @@ class VOState(NamedTuple):
     sig_obs: jnp.ndarray        # (R, P, 2) normalized-camera observations
     sig_pvalid: jnp.ndarray     # (R, P) row validity
     sig_pose: jnp.ndarray       # (R, 4, 4) pose_cw at storage time
+    sig_octave: jnp.ndarray     # (R, P) keypoint octave per snapshot row
+
+
+class SnapOut(NamedTuple):
+    """Closure-snapshot ring rows written during one chunk, returned as part
+    of the chunk output so the host can MIRROR the ring for free: the rows
+    ride the per-chunk fused transfer instead of costing the closure
+    consumer a dedicated ~26 ms device_get per attempt
+    (pipeline/device_slam.py keeps the mirror). Leading axis = stored slots
+    this chunk (T // loop_every)."""
+    slot: jnp.ndarray           # (C,) ring slot index
+    frame: jnp.ndarray          # (C,) frame index stored there
+    pc: jnp.ndarray             # (C, P, 3)
+    desc: jnp.ndarray           # (C, P, 8)
+    obs: jnp.ndarray            # (C, P, 2)
+    pvalid: jnp.ndarray         # (C, P)
+    pose: jnp.ndarray           # (C, 4, 4)
+    octave: jnp.ndarray         # (C, P)
 
 
 class VOStepOut(NamedTuple):
@@ -159,7 +187,12 @@ class DeviceVOConfig(NamedTuple):
     # (pose-only VO). The BA cadence is a STATIC schedule (scan over
     # frame groups), not a traced cond: under vmap a cond lowers to select
     # and would run the solve every frame for every sequence.
-    window: int = 0
+    # DEFAULT = 8, MEASURED: the sweep_device_vo matrix (RESULTS.md) shows
+    # default+window8 beats the fed odometry at every drift level on both
+    # texture worlds, at ~20% scan-throughput cost — so the zero-argument
+    # config ships the accuracy-winning setting (round-4 verdict item 4).
+    # NOTE: with window > 0 chunk lengths must divide window_ba_every.
+    window: int = 8
     window_ba_every: int = 4
     window_ba_iters: int = 3
     # free landmark positions in the window solve. True = full joint BA
@@ -195,6 +228,13 @@ class DeviceVOConfig(NamedTuple):
     loop_slots: int = 64
     loop_words: int = 512
     loop_min_gap: int = 30
+    # candidates within this many frames of being overwritten (ring span =
+    # loop_slots * loop_every) are not flagged: the host consumes flags one
+    # chunk late, and a candidate whose slot is recycled in flight is
+    # useless (and on multi-lap sessions score TIES resolve to the oldest
+    # slot, which is exactly the about-to-die one). Must exceed the chunk
+    # length used by the consumer.
+    loop_stale_guard: int = 16
     # snapshot capacity: matched landmarks stored per ring slot for the host
     # closure stack (camera-frame points + descriptors + observations)
     loop_points: int = 192
@@ -655,6 +695,9 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
         # --- landmark bookkeeping (matched is indexed by landmark row)
         lm_last_seen = jnp.where(matched, state.frame_idx,
                                  state.lm_last_seen)
+        # per-observation octave: the matched feature's pyramid level (feeds
+        # the closure snapshot's levelSigmaSq, loop_ransac.cpp:28-40)
+        lm_octave = jnp.where(matched, octv[nn_mf], state.lm_octave)
         feat_claimed = jnp.zeros(pts.shape[0], bool).at[nn_mf].max(matched)
         free_cur = feat_valid & ~feat_claimed
 
@@ -669,6 +712,9 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
          new_meas_cur, new_meas_prev) = _create_landmarks(
             mid, pose_cw, pts, desc, free_cur, cam_kind, cam_params, cfg)
         n_new = jnp.sum(assigned)
+        lm_octave = lm_octave.at[new_slot].set(octv, mode="drop")
+        lm_created = state.lm_created.at[new_slot].set(state.frame_idx,
+                                                       mode="drop")
         # creation-claimed features are no longer free: without this, a
         # feature whose fresh landmark misses next frame's projection match
         # would re-triangulate and mint a duplicate landmark (the reference
@@ -709,7 +755,7 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
         sig_ring, sig_frame = state.sig_ring, state.sig_frame
         sig_pc, sig_desc_ring = state.sig_pc, state.sig_desc
         sig_obs, sig_pvalid = state.sig_obs, state.sig_pvalid
-        sig_pose = state.sig_pose
+        sig_pose, sig_octave = state.sig_pose, state.sig_octave
         loop_frame = jnp.asarray(-1, jnp.int32)
         loop_score = jnp.asarray(0.0, jnp.float32)
         if cfg.loop_every > 0:
@@ -730,6 +776,14 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
             scores = sig_ring @ sig
             eligible = ((sig_frame >= 0)
                         & (state.frame_idx - sig_frame >= cfg.loop_min_gap))
+            ring_span = cfg.loop_slots * cfg.loop_every
+            if ring_span > cfg.loop_stale_guard:
+                # staleness guard (see DeviceVOConfig.loop_stale_guard):
+                # never flag a candidate whose slot dies before the host's
+                # one-chunk consumer lag elapses
+                eligible &= (sig_frame
+                             > state.frame_idx
+                             - (ring_span - cfg.loop_stale_guard))
             scores = jnp.where(eligible, scores, -1.0)
             best = jnp.argmax(scores)
             loop_score = scores[best]
@@ -743,26 +797,35 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
                 jnp.where(store, sig, sig_ring[slot]))
             sig_frame = sig_frame.at[slot].set(
                 jnp.where(store, state.frame_idx, sig_frame[slot]))
-            # snapshot the frame's VISIBLE live landmarks for the host
+            # snapshot the frame's OBSERVED live landmarks for the host
             # closure stack: camera-frame points under the optimized pose,
             # descriptors, and normalized observations (what LoopRansac +
             # the Sim3 refinement consume — the analogue of the candidate
-            # KF's observed map points, loop_ransac.cpp:8-45). Rows matched
-            # this frame rank first and carry the measured observation;
-            # visible-but-unmatched rows widen the match supply and carry
-            # the landmark's own projection. Compaction = one argsort
-            # gather — no serial scatter.
+            # KF's observed map points, loop_ransac.cpp:8-45). ONLY rows
+            # backed by THIS frame's image evidence qualify: landmarks
+            # matched this frame (measured observation) or created this
+            # frame (creation observation). Visible-but-unmatched rows are
+            # deliberately excluded — their camera-frame coordinates are
+            # pure map state, and on a persistent map they make a later
+            # closure self-confirming (candToCurr degenerates to the poses'
+            # own relative transform, carrying zero correction information).
+            # Compaction = one argsort gather — no serial scatter.
             P = cfg.loop_points
             with jax.default_matmul_precision("highest"):
                 pc_cam = lm_pos @ pose_cw[:3, :3].T + pose_cw[:3, 3]
             _, snap_vis = camera_jax.project(cam_kind, cam_params, pc_cam)
-            snap_sel = lm_valid & snap_vis & (pc_cam[:, 2] > 1e-6)
-            order = jnp.argsort(-(snap_sel.astype(jnp.int32)
-                                  + (snap_sel & matched).astype(jnp.int32)),
+            created_now = jnp.zeros(lm_valid.shape[0], bool).at[
+                new_slot].set(True, mode="drop")
+            snap_sel = (lm_valid & snap_vis & (pc_cam[:, 2] > 1e-6)
+                        & (matched | created_now))
+            order = jnp.argsort(-snap_sel.astype(jnp.int32),
                                 stable=True)[:P]
             zsafe = jnp.maximum(pc_cam[:, 2:3], 1e-6)
+            obs_created = jnp.zeros_like(meas).at[new_slot].set(
+                new_meas_cur, mode="drop")
             snap_obs = jnp.where((matched & snap_sel)[:, None], meas,
-                                 pc_cam[:, :2] / zsafe)
+                                 jnp.where(created_now[:, None], obs_created,
+                                           pc_cam[:, :2] / zsafe))
             sig_pc = sig_pc.at[slot].set(
                 jnp.where(store, pc_cam[order], sig_pc[slot]))
             sig_desc_ring = sig_desc_ring.at[slot].set(
@@ -773,19 +836,23 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
                 jnp.where(store, snap_sel[order], sig_pvalid[slot]))
             sig_pose = sig_pose.at[slot].set(
                 jnp.where(store, pose_cw, sig_pose[slot]))
+            sig_octave = sig_octave.at[slot].set(
+                jnp.where(store, lm_octave[order], sig_octave[slot]))
 
         new_state = VOState(
             pose_cw=pose_cw, lm_pos=lm_pos, lm_desc=lm_desc,
             lm_valid=lm_valid, lm_last_seen=lm_last_seen,
             lm_anchor_origin=lm_anchor_origin, lm_anchor_ray=lm_anchor_ray,
             lm_depth=lm_depth, lm_n_obs=lm_n_obs,
+            lm_octave=lm_octave, lm_created=lm_created,
             prev_pts=pts, prev_desc=desc, prev_free=free_cur,
             prev_pose_cw=pose_cw, frame_idx=state.frame_idx + 1,
             win_pose_cw=win_pose_cw, win_valid=win_valid, win_odo=win_odo,
             wobs_meas=wobs_meas, wobs_valid=wobs_valid,
             sig_ring=sig_ring, sig_frame=sig_frame,
             sig_pc=sig_pc, sig_desc=sig_desc_ring, sig_obs=sig_obs,
-            sig_pvalid=sig_pvalid, sig_pose=sig_pose)
+            sig_pvalid=sig_pvalid, sig_pose=sig_pose,
+            sig_octave=sig_octave)
         return new_state, VOStepOut(pose_cw=pose_cw,
                                     n_matched=jnp.sum(matched),
                                     n_new=n_new,
@@ -795,50 +862,164 @@ def make_vo_step(cfg: DeviceVOConfig, camera=None,
     return step, spec
 
 
-@jax.jit
+@functools.partial(jax.jit, static_argnames=("merge",))
 def _rebase_states(state: VOState, T: jnp.ndarray, apply: jnp.ndarray,
-                   cand_frame: jnp.ndarray) -> VOState:
-    """Apply per-sequence loop-closure corrections to batched device state.
+                   cand_frame: jnp.ndarray,
+                   cand_slot: Optional[jnp.ndarray] = None,
+                   slot_T: Optional[jnp.ndarray] = None,
+                   slot_frame: Optional[jnp.ndarray] = None,
+                   merge_radius: float = 0.0,
+                   merge: bool = False) -> VOState:
+    """Apply per-sequence loop-closure corrections to batched device state —
+    the device-path ``correctLoop`` (ONE dispatch for rebase + map hygiene).
 
     ``T``: (S, 4, 4) SE3 world->world correction, right-multiplied onto
     poses (reference correctLoop semantics, loop_closer.cpp:405-434:
     ``pose' = pose ∘ T`` with the Sim3 scale discarded by sim3ToSe3, which
-    our host consumer mirrors via ``Sim3.to_se3``). World entities move by
-    ``T⁻¹`` so camera-frame coordinates are preserved exactly:
-    ``pose' p' = pose T T⁻¹ p = pose p`` — the device-state analogue of the
-    map-point re-expression at loop_closer.cpp:492-506 with the current
-    region's poses as reference. Camera-frame snapshot points (sig_pc) are
-    invariant; snapshot poses of frames newer than the closure candidate
-    (``sig_frame > cand_frame``) are in the corrected region and move with
-    it. ``apply``: (S,) mask — sequences without an accepted closure pass
-    through untouched."""
+    our host consumer mirrors via ``Sim3.to_se3``). CORRECTED-REGION
+    landmarks — those created after the closure candidate
+    (``lm_created > cand_frame``) — move by ``T⁻¹`` so their camera-frame
+    coordinates are preserved exactly (``pose' p' = pose T T⁻¹ p``): the
+    analogue of the map-point re-expression at loop_closer.cpp:492-506,
+    which re-expresses only the corrected keyframes' points. Older
+    landmarks stay put — they are the already-consistent old-region map
+    the correction re-aligns the pose WITH; the next window BA then
+    re-optimizes against them (the post-closure re-optimization of
+    mapper_helpers.cpp:1106-1121, here the scan's scheduled window solve).
+
+    ``slot_T``/``slot_frame``: (S, R, 4, 4)/(S, R) per-ring-slot correction
+    matrices from the host consumer, carrying the same time-interpolated
+    smear applied to the logged trajectory (loop_closer.cpp:421-470); a slot
+    uses its custom matrix only when its stored frame still matches
+    ``slot_frame`` (rows overwritten by in-flight chunks fall back to the
+    rigid predicate ``sig_frame > cand_frame -> T``). Camera-frame snapshot
+    points (sig_pc) are invariant under the rebase.
+
+    ``merge=True`` additionally runs the post-closure duplicate-landmark
+    hygiene (searchAndDeduplicate + map-point merge semantics,
+    loop_closer.cpp:531-591): corrected-region landmarks are matched
+    (Hamming mutual-NN + ``merge_radius`` 3D gate) first against surviving
+    old-region landmarks — merging observation counts/window observations
+    into the OLDER slot and freeing the duplicate — then against the
+    accepted candidate snapshot's points, snapping their positions onto the
+    old-lap geometry. ``apply``: (S,) mask — sequences without an accepted
+    closure pass through untouched."""
     from slam_tpu.ops import lie
 
+    S = T.shape[0]
+    if cand_slot is None:
+        cand_slot = jnp.zeros(S, jnp.int32)
+    if slot_T is None:
+        R_sig = state.sig_pose.shape[1]
+        slot_T = jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
+                                  (S, R_sig, 4, 4))
+        slot_frame = jnp.full((S, R_sig), -2, jnp.int32)
+
     with jax.default_matmul_precision("highest"):
-        def one(st, Tc, on, cf):
+        def one(st, Tc, on, cf, cslot, sT, sF):
             Tinv = lie.se3_inverse(Tc)
             Rinv, tinv = Tinv[:3, :3], Tinv[:3, 3]
+            corrected = st.lm_valid & (st.lm_created > cf)
 
             def pose(p):
                 return jnp.where(on, p @ Tc, p)
 
-            def point(p):
-                return jnp.where(on, p @ Rinv.T + tinv, p)
+            def point(p, move):
+                return jnp.where(on & move[:, None], p @ Rinv.T + tinv, p)
 
-            sig_move = on & (st.sig_frame > cf)
-            return st._replace(
+            # per-slot snapshot-pose correction: host-provided interpolated
+            # matrix when the slot's frame is the one the host mirrored,
+            # else the rigid predicate (in-flight rows are always > cf)
+            use_custom = st.sig_frame == sF
+            rigid = jnp.where((st.sig_frame > cf)[:, None, None],
+                              jnp.broadcast_to(Tc, st.sig_pose.shape),
+                              jnp.broadcast_to(jnp.eye(4, dtype=Tc.dtype),
+                                               st.sig_pose.shape))
+            Tr = jnp.where(use_custom[:, None, None], sT, rigid)
+            st = st._replace(
                 pose_cw=pose(st.pose_cw),
                 prev_pose_cw=pose(st.prev_pose_cw),
                 win_pose_cw=jnp.where(on, st.win_pose_cw @ Tc,
                                       st.win_pose_cw),
-                lm_pos=point(st.lm_pos),
-                lm_anchor_origin=point(st.lm_anchor_origin),
-                lm_anchor_ray=jnp.where(on, st.lm_anchor_ray @ Rinv.T,
+                lm_pos=point(st.lm_pos, corrected),
+                lm_anchor_origin=point(st.lm_anchor_origin, corrected),
+                lm_anchor_ray=jnp.where((on & corrected)[:, None],
+                                        st.lm_anchor_ray @ Rinv.T,
                                         st.lm_anchor_ray),
-                sig_pose=jnp.where(sig_move[:, None, None],
-                                   st.sig_pose @ Tc, st.sig_pose))
+                sig_pose=jnp.where(on, st.sig_pose @ Tr, st.sig_pose))
+            if not merge:
+                return st
+            return _merge_duplicates(st, on, cf, cslot,
+                                     jnp.float32(merge_radius))
 
-        return jax.vmap(one)(state, T, apply, cand_frame)
+        return jax.vmap(one)(state, T, apply, cand_frame, cand_slot,
+                             slot_T, slot_frame)
+
+
+def _merge_duplicates(st: VOState, on, cf, cslot, radius):
+    """Post-closure duplicate-landmark hygiene for ONE sequence (runs inside
+    the vmapped rebase dispatch; see `_rebase_states`)."""
+    M = st.lm_pos.shape[0]
+    r2 = radius * radius
+    new_mask = st.lm_valid & (st.lm_created > cf)
+    old_mask = st.lm_valid & (st.lm_created <= cf) & (st.lm_created >= 0)
+
+    # --- stage 1: merge corrected-region duplicates into surviving
+    # old-region landmarks (map-point merge, loop_closer.cpp:531-546:
+    # keep the older point, combine observations)
+    dist = hamming_matrix(st.lm_desc, st.lm_desc)            # (M, M)
+    d2 = jnp.sum((st.lm_pos[:, None, :] - st.lm_pos[None, :, :]) ** 2,
+                 axis=-1)
+    gate = new_mask[:, None] & old_mask[None, :] & (d2 <= r2)
+    dist = jnp.where(gate, dist, jnp.int32(MASK_DIST))
+    nn, ok = mutual_nn(dist, HAMMING_DIST_THR_LOW)
+    ok = ok & on
+    tgt = jnp.where(ok, nn, M)                               # OOB -> dropped
+    lm_valid = st.lm_valid & ~ok
+    lm_n_obs = st.lm_n_obs.at[tgt].add(
+        jnp.where(ok, st.lm_n_obs, 0), mode="drop")
+    lm_last_seen = st.lm_last_seen.at[tgt].max(
+        jnp.where(ok, st.lm_last_seen, -1), mode="drop")
+    # transfer window observations of the freed duplicate to the kept slot
+    # (columns where the kept slot has none), then clear the freed rows
+    add_valid = jnp.zeros_like(st.wobs_valid).at[tgt].max(
+        st.wobs_valid & ok[:, None], mode="drop")
+    add_meas = jnp.zeros_like(st.wobs_meas).at[tgt].add(
+        jnp.where((st.wobs_valid & ok[:, None])[:, :, None],
+                  st.wobs_meas, 0.0), mode="drop")
+    take_new = add_valid & ~st.wobs_valid
+    wobs_meas = jnp.where(take_new[:, :, None], add_meas, st.wobs_meas)
+    wobs_valid = (st.wobs_valid | add_valid) & lm_valid[:, None]
+
+    # --- stage 2: snap remaining corrected-region landmarks onto the
+    # candidate snapshot's (old-lap) geometry — the candidate-neighborhood
+    # dedup (loop_closer.cpp:567-591) for geometry whose live landmarks
+    # were culled long ago but survive in the snapshot ring
+    snap_pc = st.sig_pc[cslot]                               # (P, 3) cam
+    snap_desc = st.sig_desc[cslot]
+    snap_valid = st.sig_pvalid[cslot]
+    pose_c = st.sig_pose[cslot]
+    Rc, tc = pose_c[:3, :3], pose_c[:3, 3]
+    p_w = (snap_pc - tc) @ Rc                                # R^T (p - t)
+    dist2 = hamming_matrix(st.lm_desc, snap_desc)            # (M, P)
+    d2s = jnp.sum((st.lm_pos[:, None, :] - p_w[None, :, :]) ** 2, axis=-1)
+    gate2 = ((new_mask & lm_valid & ~ok)[:, None] & snap_valid[None, :]
+             & (d2s <= r2))
+    dist2 = jnp.where(gate2, dist2, jnp.int32(MASK_DIST))
+    nn2, ok2 = mutual_nn(dist2, HAMMING_DIST_THR_LOW)
+    ok2 = ok2 & on
+    lm_pos = jnp.where(ok2[:, None], p_w[nn2], st.lm_pos)
+    ray = lm_pos - st.lm_anchor_origin
+    depth = jnp.linalg.norm(ray, axis=-1)
+    upd = ok2 & (depth > 1e-6)
+    lm_depth = jnp.where(upd, depth, st.lm_depth)
+    lm_anchor_ray = jnp.where(upd[:, None],
+                              ray / jnp.maximum(depth[:, None], 1e-9),
+                              st.lm_anchor_ray)
+    return st._replace(lm_valid=lm_valid, lm_n_obs=lm_n_obs,
+                       lm_last_seen=lm_last_seen, lm_pos=lm_pos,
+                       lm_depth=lm_depth, lm_anchor_ray=lm_anchor_ray,
+                       wobs_meas=wobs_meas, wobs_valid=wobs_valid)
 
 
 def loop_candidates(out: VOStepOut, frame_offset: int = 0) -> np.ndarray:
@@ -864,6 +1045,11 @@ def loop_candidates(out: VOStepOut, frame_offset: int = 0) -> np.ndarray:
 def init_state(cfg: DeviceVOConfig, num_slots: int,
                pose0_cw: Optional[np.ndarray] = None) -> VOState:
     M = cfg.lm_capacity
+    if cfg.loop_every > 0:
+        assert cfg.loop_points <= cfg.lm_capacity, (
+            f"loop_points={cfg.loop_points} exceeds lm_capacity="
+            f"{cfg.lm_capacity}: the snapshot compaction gathers at most "
+            "lm_capacity landmark rows per ring slot")
     K_win = max(cfg.window, 1)
     R_sig = cfg.loop_slots if cfg.loop_every > 0 else 1
     W_sig = cfg.loop_words if cfg.loop_every > 0 else 1
@@ -880,6 +1066,8 @@ def init_state(cfg: DeviceVOConfig, num_slots: int,
         lm_anchor_ray=jnp.zeros((M, 3), jnp.float32),
         lm_depth=jnp.zeros(M, jnp.float32),
         lm_n_obs=jnp.zeros(M, jnp.int32),
+        lm_octave=jnp.zeros(M, jnp.int32),
+        lm_created=jnp.full(M, -1, jnp.int32),
         prev_pts=jnp.zeros((num_slots, 2), jnp.float32),
         prev_desc=jnp.zeros((num_slots, 8), jnp.uint32),
         prev_free=jnp.zeros(num_slots, bool),
@@ -899,7 +1087,8 @@ def init_state(cfg: DeviceVOConfig, num_slots: int,
         sig_obs=jnp.zeros((R_sig, P_sig, 2), jnp.float32),
         sig_pvalid=jnp.zeros((R_sig, P_sig), bool),
         sig_pose=jnp.broadcast_to(jnp.eye(4, dtype=jnp.float32),
-                                  (R_sig, 4, 4)))
+                                  (R_sig, 4, 4)),
+        sig_octave=jnp.zeros((R_sig, P_sig), jnp.int32))
 
 
 # Compiled scan-over-frames programs keyed by everything that shapes the
@@ -954,15 +1143,38 @@ class BatchedDeviceVO:
             step, _ = make_vo_step(cfg, camera=camera, settings=settings)
             focal = float(cam_params_np[0])
 
+            def _chunk_snaps(f0, st, T):
+                """Ring rows stored during this chunk, gathered for the host
+                mirror (see SnapOut). Stored frames are the multiples of
+                loop_every in [f0, f0+T); with T % loop_every == 0 there are
+                exactly T // loop_every of them regardless of alignment."""
+                if cfg.loop_every <= 0:
+                    return None
+                le = cfg.loop_every
+                assert T % le == 0, (
+                    f"chunk length {T} not divisible by loop_every={le}: "
+                    "the snapshot mirror needs a static stored-slot count")
+                first = (f0 + le - 1) // le
+                idx = first + jnp.arange(T // le, dtype=jnp.int32)
+                slots = jnp.mod(idx, cfg.loop_slots)
+                return SnapOut(slot=slots, frame=st.sig_frame[slots],
+                               pc=st.sig_pc[slots], desc=st.sig_desc[slots],
+                               obs=st.sig_obs[slots],
+                               pvalid=st.sig_pvalid[slots],
+                               pose=st.sig_pose[slots],
+                               octave=st.sig_octave[slots])
+
             def chunk(state, images, odom_deltas):
+                f0 = state.frame_idx
+                T = images.shape[0]
                 if cfg.window <= 0:
-                    return jax.lax.scan(step, state, (images, odom_deltas))
+                    st, outs = jax.lax.scan(step, state, (images, odom_deltas))
+                    return st, outs, _chunk_snaps(f0, st, T)
                 # scan over frame GROUPS: `window_ba_every` pose-only frames,
                 # then one device-resident window BA. The cadence must be a
                 # static schedule — under vmap a traced lax.cond lowers to
                 # select, which would execute the solve every frame.
                 G = cfg.window_ba_every
-                T = images.shape[0]
                 assert T % G == 0, (
                     f"chunk length {T} not divisible by window_ba_every={G}")
 
@@ -976,7 +1188,7 @@ class BatchedDeviceVO:
                 st, outs = jax.lax.scan(group, state, grp_in)
                 outs = jax.tree.map(
                     lambda x: x.reshape((T,) + x.shape[2:]), outs)
-                return st, outs
+                return st, outs, _chunk_snaps(f0, st, T)
 
             fn = jax.jit(jax.vmap(chunk))
             _CHUNK_CACHE[key] = fn
@@ -996,6 +1208,7 @@ class BatchedDeviceVO:
             # computation follows data: sharded state + inputs make jit
             # partition the whole scan over the mesh, no in_shardings needed
             self.state = jax.device_put(self.state, self._sharding)
+        self.last_snaps = None
 
     def _put(self, x):
         if self._sharding is not None:
@@ -1003,9 +1216,13 @@ class BatchedDeviceVO:
         return jnp.asarray(x)
 
     def advance(self, images: np.ndarray, odom_deltas: np.ndarray):
-        """images: (S, T, H, W); odom_deltas: (S, T, 4, 4)."""
-        self.state, out = self._chunk(self.state, self._put(images),
-                                      self._put(odom_deltas))
+        """images: (S, T, H, W); odom_deltas: (S, T, 4, 4).
+
+        When loop detection is on, the ring rows stored during the chunk are
+        additionally exposed as ``self.last_snaps`` (SnapOut batched over S)
+        for the host snapshot mirror (pipeline/device_slam.py)."""
+        self.state, out, self.last_snaps = self._chunk(
+            self.state, self._put(images), self._put(odom_deltas))
         return out
 
     def save_state(self, path: str) -> None:

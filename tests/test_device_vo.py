@@ -57,7 +57,8 @@ class TestMeshShardedVO:
 
         cam = default_camera(160, 120)
         cfg = DeviceVOConfig(width=160, height=120, lm_capacity=32,
-                             max_keypoints=60, ba_iterations=2)
+                             max_keypoints=60, ba_iterations=2,
+                             window=0)   # pose-only scan variant
         S, T = 8, 3
         rng = np.random.default_rng(3)
         images = rng.integers(0, 256, (S, T, 120, 160)).astype(np.uint8)
@@ -108,7 +109,7 @@ class TestFaultedOdometry:
         deltas[7, 0, 3] += 1.0          # 1 m sideways jump at frame 7
 
         cfg = DeviceVOConfig(width=320, height=240, lm_capacity=512,
-                             max_keypoints=300)
+                             max_keypoints=300, window=0)  # pose-only probe
         vo = BatchedDeviceVO(cfg, batch=1, camera=cam)
         p0 = world.poses_cw[0].astype(np.float32)[None]
         vo.state = vo.state._replace(pose_cw=p0, prev_pose_cw=p0)
@@ -176,7 +177,7 @@ class TestCompiledProgramCache:
         leak (CLAUDE.md rule)."""
         cam = default_camera(320, 240)
         cfg = DeviceVOConfig(width=320, height=240, lm_capacity=64,
-                             max_keypoints=100)
+                             max_keypoints=100, window=0)
         a = BatchedDeviceVO(cfg, batch=2, camera=cam)
         b = BatchedDeviceVO(cfg, batch=2, camera=cam)
         assert a._chunk is b._chunk
@@ -190,7 +191,7 @@ class TestCompiledProgramCache:
         must continue EXACTLY like the original (bit-equal poses)."""
         cam = default_camera(320, 240)
         cfg = DeviceVOConfig(width=320, height=240, lm_capacity=64,
-                             max_keypoints=100)
+                             max_keypoints=100, window=0)
         rng = np.random.default_rng(7)
         imgs = rng.integers(0, 256, (2, 2, 240, 320)).astype(np.uint8)
         deltas = np.broadcast_to(np.eye(4, dtype=np.float32),
@@ -216,7 +217,7 @@ class TestCompiledProgramCache:
     def test_reset_restores_initial_state(self):
         cam = default_camera(320, 240)
         cfg = DeviceVOConfig(width=320, height=240, lm_capacity=64,
-                             max_keypoints=100)
+                             max_keypoints=100, window=0)
         vo = BatchedDeviceVO(cfg, batch=2, camera=cam)
         p0 = np.stack([np.eye(4, dtype=np.float32)] * 2)
         p0[:, 0, 3] = [1.0, 2.0]
@@ -287,7 +288,7 @@ class TestBatchedDeviceVO:
         # its never-worse-than-odometry safety is asserted by the
         # sweep_device_vo matrix (RESULTS.md), not this bound.
         cfg = DeviceVOConfig(width=320, height=240, lm_capacity=512,
-                             max_keypoints=300,
+                             max_keypoints=300, window=0,
                              odom_pos_weight=100.0, odom_rot_weight=1000.0)
         vo = BatchedDeviceVO(cfg, batch=1, camera=cam)
         vo.state = vo.state._replace(
@@ -361,7 +362,7 @@ class TestWindowBA:
         # prior much harder in this extreme-drift regime by design; its
         # accuracy contract is the sweep_device_vo matrix (RESULTS.md).
         base = DeviceVOConfig(width=320, height=240, lm_capacity=512,
-                              max_keypoints=300,
+                              max_keypoints=300, window=0,
                               odom_pos_weight=100.0, odom_rot_weight=1000.0)
         p0 = world.poses_cw[0].astype(np.float32)[None]
 
@@ -562,11 +563,19 @@ class TestDeviceLoopClosure:
         e_ctrl, e_closed = tail_err(control), tail_err(slam)
         assert e_closed < 0.7 * e_ctrl, (e_closed, e_ctrl)
 
-        # the DEVICE STATE was rebased, not just the host log: the state's
-        # live pose must match the corrected log tail, not the control's
+        # the DEVICE STATE was rebased, not just the host log: the live
+        # state must equal the no-closure control's state right-multiplied
+        # by the accepted correction. (The online pose log trails the
+        # in-state window-BA refinement by design — outputs are emitted
+        # per frame, the trailing window solve then refines the state — so
+        # state/log equality only holds for window=0; the control relation
+        # is exact for both.)
         pose_state = np.asarray(jax.device_get(slam.vo.state.pose_cw))[0]
-        np.testing.assert_allclose(pose_state, slam.trajectory(0)[-1],
+        pose_ctrl = np.asarray(jax.device_get(control.vo.state.pose_cw))[0]
+        np.testing.assert_allclose(pose_state, pose_ctrl @ ev.T,
                                    rtol=1e-4, atol=1e-4)
+        # and the log tail agrees with the state up to that refinement
+        assert np.abs(pose_state - slam.trajectory(0)[-1]).max() < 0.05
 
         # control run: flags were still produced and verified (events
         # recorded) but nothing moved
@@ -579,3 +588,164 @@ class TestDeviceLoopClosure:
         np.testing.assert_allclose(ctrl_traj,
                                    np.asarray(out_plain.pose_cw)[0],
                                    rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.slow
+class TestDeviceMultiClosure:
+    """Verdict-r4 hardening of the device closure path beyond one closure:
+    >= 2 accepted closures over 3 laps (exercises `_correct_log`'s start
+    bound and post-rebase retrieval), with the in-scan window BA active
+    (the rebase moves `win_pose_cw` precisely for this), plus the
+    post-closure duplicate-landmark merge on a frozen map."""
+
+    def _world(self, lap=32, laps=3, drift_per_frame=5e-3, width=320,
+               height=240):
+        T = lap * laps
+        cam = default_camera(width, height)
+        world = make_world(n_frames=T, n_landmarks=700, seed=6,
+                           trajectory="loop", lap_frames=lap, camera=cam)
+        frames = _render_frames(world, T, seed=2)
+        bias = np.eye(4, dtype=np.float32)
+        bias[1, 3] = drift_per_frame
+        deltas = np.stack(
+            [np.eye(4, dtype=np.float32)]
+            + [bias @ (world.poses_cw[i] @ np.linalg.inv(world.poses_cw[i - 1]))
+               .astype(np.float32) for i in range(1, T)])
+        return cam, world, frames, deltas
+
+    def _drive(self, cam, world, frames, deltas, cfg, params):
+        from slam_tpu.pipeline.device_slam import DeviceSlam
+
+        T = frames.shape[0]
+        chunk = 8
+        slam = DeviceSlam(cfg, batch=1, camera=cam, params=params)
+        p0 = world.poses_cw[0].astype(np.float32)[None]
+        slam.vo.state = slam.vo.state._replace(pose_cw=p0, prev_pose_cw=p0)
+        for c in range(T // chunk):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            slam.advance(frames[None, sl], deltas[None, sl])
+        slam.finish()
+        return slam
+
+    def test_two_closures_with_window_ba(self):
+        import jax
+        from slam_tpu.pipeline.device_slam import DeviceSlamParams
+
+        lap = 32
+        cam, world, frames, deltas = self._world(lap=lap, laps=3)
+        cfg = DeviceVOConfig(width=320, height=240, lm_capacity=256,
+                             max_keypoints=200, ba_iterations=2,
+                             window=8, window_ba_every=4,
+                             loop_every=2, loop_slots=32, loop_words=256,
+                             loop_min_gap=16, loop_points=128)
+        # min_closure_gap 2 s at 10 fps = 20 frames: both revisit laps can
+        # close; the drift gates stay at their defaults
+        params = DeviceSlamParams(frame_dt=0.1, calib_frames=24,
+                                  min_closure_gap_s=2.0)
+        slam = self._drive(cam, world, frames, deltas, cfg, params)
+        control = self._drive(cam, world, frames, deltas, cfg,
+                              params._replace(apply_closures=False))
+
+        accepted = [e for e in slam.closures if e.accepted]
+        assert len(accepted) >= 2, [(e.reason, e.query_frame)
+                                    for e in slam.closures]
+        # the second closure fires AFTER the first's rebase (post-rebase
+        # retrieval works) and respects the closure gap
+        qs = [e.query_frame for e in accepted]
+        assert qs[1] - qs[0] >= 20
+        # closure lag is the documented one-chunk consumer lag
+        assert slam.closure_lags and all(0 < l <= 24 for l in slam.closure_lags)
+
+        def tail_err(s, f0):
+            traj = s.trajectory(0)
+            return float(np.mean([
+                np.linalg.norm(se3.camera_center(traj[i])
+                               - se3.camera_center(world.poses_cw[i]))
+                for i in range(f0, len(traj))]))
+
+        # final-lap error improves markedly over the no-closure control
+        e_ctrl = tail_err(control, 2 * lap)
+        e_closed = tail_err(slam, 2 * lap)
+        assert e_closed < 0.7 * e_ctrl, (e_closed, e_ctrl)
+        # the device state was rebased by both closures: it tracks the
+        # corrected log tail (up to the in-state window-BA refinement the
+        # online log trails by design) and sits far from the uncorrected
+        # control state
+        pose_state = np.asarray(jax.device_get(slam.vo.state.pose_cw))[0]
+        assert np.abs(pose_state - slam.trajectory(0)[-1]).max() < 0.05
+        pose_ctrl = np.asarray(jax.device_get(control.vo.state.pose_cw))[0]
+        assert np.linalg.norm(se3.camera_center(pose_state)
+                              - se3.camera_center(pose_ctrl)) > 0.08
+        assert np.isfinite(
+            np.asarray(jax.device_get(slam.vo.state.win_pose_cw))).all()
+
+    def test_merge_collapses_frozen_map_duplicates(self):
+        """Frozen-map config (stale_age >= episode): lap-1 landmarks survive
+        to the revisit, a gross odometry fault at the lap boundary shifts
+        the whole second lap (the VO follows a faulted prior and keeps
+        mapping in the shifted frame — TestFaultedOdometry), so lap 2 mints
+        displaced duplicate landmarks. The closure must recover the shift
+        and the post-closure merge must collapse the duplicates — and
+        re-traversing the closed region must not re-mint them (verdict r4
+        item 2). Drift-rate gates are loosened (a 0.5 m step is far outside
+        the continuous-drift envelope they model); gate calibration at
+        defaults is covered by TestDeviceLoopClosure."""
+        import jax
+        from slam_tpu.ops.hamming import hamming_matrix_host
+        from slam_tpu.pipeline.device_slam import DeviceSlamParams
+
+        lap = 32
+        cam, world, frames, deltas = self._world(lap=lap, laps=3,
+                                                 drift_per_frame=0.0)
+        # single-frame 0.5 m vertical odometry fault at the lap boundary:
+        # throws the true landmarks outside the 20 px projection gate, so
+        # the whole second lap maps in the shifted frame
+        fault = np.eye(4, dtype=np.float32)
+        fault[1, 3] = 0.5
+        deltas[lap] = fault @ deltas[lap]
+        # lm_capacity must hold BOTH the frozen lap-1 map and the lap-2
+        # duplicates — an exhausted store would silently suppress the
+        # duplicate minting this test is about
+        cfg = DeviceVOConfig(width=320, height=240, lm_capacity=2048,
+                             max_keypoints=200, ba_iterations=2, window=0,
+                             stale_age=10 ** 6, max_depth_step=0.0,
+                             loop_every=2, loop_slots=32, loop_words=256,
+                             loop_min_gap=16, loop_points=128)
+        params = DeviceSlamParams(frame_dt=0.1, calib_frames=24,
+                                  min_closure_gap_s=2.0,
+                                  max_drift_m_per_s=10.0,
+                                  max_drift_m_per_m=10.0,
+                                  max_drift_rad_per_s=1.0,
+                                  max_drift_rad_per_m=1.0,
+                                  merge_radius_m=0.3)
+
+        def dup_count(slam):
+            st = jax.device_get(slam.vo.state)
+            valid = np.asarray(st.lm_valid)[0]
+            pos = np.asarray(st.lm_pos)[0][valid]
+            desc = np.asarray(st.lm_desc)[0][valid]
+            ham = hamming_matrix_host(desc, desc)
+            d3 = np.linalg.norm(pos[:, None] - pos[None, :], axis=-1)
+            pair = (ham <= 50) & (d3 <= 0.3)
+            return int(np.triu(pair, k=1).sum())
+
+        slam = self._drive(cam, world, frames, deltas, cfg, params)
+        no_merge = self._drive(cam, world, frames, deltas, cfg,
+                               params._replace(merge_landmarks=False))
+
+        assert any(e.accepted for e in slam.closures), \
+            [e.reason for e in slam.closures]
+        assert any(e.accepted for e in no_merge.closures)
+        d_merge, d_plain = dup_count(slam), dup_count(no_merge)
+        assert d_merge < 0.5 * d_plain, (d_merge, d_plain)
+
+        # re-traversal does not re-mint: after the first closure the merged
+        # map re-matches, so lap-3 mints far fewer landmarks than lap 2
+        q0 = min(e.query_frame for e in slam.closures if e.accepted)
+        # (n_new is only in the chunk outputs; recover from the state's
+        # creation log instead: landmarks created on each lap)
+        created = np.asarray(jax.device_get(slam.vo.state.lm_created))[0]
+        valid = np.asarray(jax.device_get(slam.vo.state.lm_valid))[0]
+        lap2 = int(((created >= lap) & (created < 2 * lap) & valid).sum())
+        lap3 = int(((created >= 2 * lap) & valid).sum())
+        assert lap3 < 0.7 * max(lap2, 1) + 5, (lap2, lap3, q0)

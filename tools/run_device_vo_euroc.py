@@ -39,7 +39,14 @@ from slam_tpu.geometry import se3
 
 def run(n_frames=120, n_sequences=2, drift=0.0015, chunk=8, seed=0,
         progress=True, window=0, window_ba_every=4, tile=0, preset="frozen",
-        lowe=None):
+        lowe=None, slam=False):
+    """``slam=True`` runs the FULL device-SLAM serving path
+    (`pipeline/device_slam.DeviceSlam`: in-scan retrieval + host closure
+    consumer + rebase/merge) instead of the bare VO backend; the sequence's
+    built-in revisit (make_sequence: one lap + 12% overlap) is what the
+    closure must catch, at DEFAULT drift/score gates. ATE then uses the
+    closure-corrected trajectory log — the device-SLAM accuracy row
+    comparable to the interactive configs-3/4 table (RESULTS.md)."""
     import jax
     from slam_tpu.pipeline.device_vo import BatchedDeviceVO, DeviceVOConfig
 
@@ -89,23 +96,48 @@ def run(n_frames=120, n_sequences=2, drift=0.0015, chunk=8, seed=0,
         raise ValueError(preset)
     if lowe is not None:
         kw.update(match_lowe_ratio=lowe)
-    cfg = DeviceVOConfig(**kw)
-    vo = BatchedDeviceVO(cfg, batch=n_sequences, camera=CAM)
     p0 = np.stack([s[0][0] for s in seqs]).astype(np.float32)
-    vo.reset(poses0_cw=p0)
+    n_closures = None
+    if slam:
+        from slam_tpu.pipeline.device_slam import DeviceSlam, DeviceSlamParams
 
-    # warmup chunk compiles; then a timed fresh run over all chunks
-    out = vo.advance(images[:, :chunk], deltas[:, :chunk])
-    jax.device_get(out.pose_cw)
-    vo.reset(poses0_cw=p0)
-    t0 = time.perf_counter()
-    outs = []
-    for c in range(n_frames // chunk):
-        sl = slice(c * chunk, (c + 1) * chunk)
-        outs.append(vo.advance(images[:, sl], deltas[:, sl]))
-    poses = np.concatenate(
-        [np.asarray(jax.device_get(o.pose_cw)) for o in outs], axis=1)
-    vo_s = time.perf_counter() - t0
+        kw.update(loop_every=4, loop_slots=64, loop_words=512,
+                  loop_min_gap=40, loop_points=192)
+        cfg = DeviceVOConfig(**kw)
+        params = DeviceSlamParams(frame_dt=1.0 / 20.0)
+
+        def drive():
+            s = DeviceSlam(cfg, batch=n_sequences, camera=CAM, params=params)
+            s.vo.state = s.vo.state._replace(pose_cw=p0, prev_pose_cw=p0)
+            for c in range(n_frames // chunk):
+                slc = slice(c * chunk, (c + 1) * chunk)
+                s.advance(images[:, slc], deltas[:, slc])
+            s.finish()
+            return s
+
+        drive()                       # warmup compiles (program cache)
+        t0 = time.perf_counter()
+        sl_run = drive()
+        vo_s = time.perf_counter() - t0
+        poses = np.stack([sl_run.trajectory(s) for s in range(n_sequences)])
+        n_closures = sum(1 for e in sl_run.closures if e.accepted)
+    else:
+        cfg = DeviceVOConfig(**kw)
+        vo = BatchedDeviceVO(cfg, batch=n_sequences, camera=CAM)
+        vo.reset(poses0_cw=p0)
+
+        # warmup chunk compiles; then a timed fresh run over all chunks
+        out = vo.advance(images[:, :chunk], deltas[:, :chunk])
+        jax.device_get(out.pose_cw)
+        vo.reset(poses0_cw=p0)
+        t0 = time.perf_counter()
+        outs = []
+        for c in range(n_frames // chunk):
+            sl = slice(c * chunk, (c + 1) * chunk)
+            outs.append(vo.advance(images[:, sl], deltas[:, sl]))
+        poses = np.concatenate(
+            [np.asarray(jax.device_get(o.pose_cw)) for o in outs], axis=1)
+        vo_s = time.perf_counter() - t0
 
     def ate(centers, gt_centers):
         err = centers - gt_centers
@@ -122,6 +154,7 @@ def run(n_frames=120, n_sequences=2, drift=0.0015, chunk=8, seed=0,
 
     return {
         "frames": n_frames, "sequences": n_sequences, "drift": drift,
+        "slam": bool(slam), "closures_accepted": n_closures,
         "window": window, "tile": tile, "preset": preset,
         "lowe": lowe if lowe is not None else cfg.match_lowe_ratio,
         "per_sequence": per_seq,
@@ -150,6 +183,10 @@ def main():
                     default="frozen")
     ap.add_argument("--lowe", type=float, default=None,
                     help="override match_lowe_ratio (1.0 = off)")
+    ap.add_argument("--slam", action="store_true",
+                    help="full device-SLAM path (in-scan retrieval + host "
+                         "closure consumer + rebase/merge); ATE uses the "
+                         "closure-corrected trajectory")
     ap.add_argument("--cpu", action="store_true",
                     help="force the CPU backend (ATE is platform-independent;"
                          " post-import config update per CLAUDE.md)")
@@ -160,7 +197,8 @@ def main():
     res = run(n_frames=args.frames, n_sequences=args.sequences,
               drift=args.drift, chunk=args.chunk, seed=args.seed,
               window=args.window, window_ba_every=args.window_ba_every,
-              tile=args.tile, preset=args.preset, lowe=args.lowe)
+              tile=args.tile, preset=args.preset, lowe=args.lowe,
+              slam=args.slam)
     print(json.dumps(res))
 
 
