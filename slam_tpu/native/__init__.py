@@ -68,7 +68,7 @@ def get_lib() -> Optional[ctypes.CDLL]:
                     "radius_search", "radius_hamming_best",
                     "match_triangulation", "match_loop_closure",
                     "match_tracker", "project_greedy_claim",
-                    "triangulate_pairs",
+                    "triangulate_pairs", "match_triangulate_pair",
                     "create_random_array", "seed_random")
         if any(not hasattr(lib, s) for s in required):
             return None  # stale binary from before a newer op was added
@@ -121,6 +121,16 @@ def get_lib() -> Optional[ctypes.CDLL]:
             f64p, f64p, f32p, f64p, u8p, f32p, i32p, f64p,   # adjacent frame
             ctypes.c_double, f64p, ctypes.c_double, ctypes.c_double,
             f64p, u8p]
+        lib.match_triangulate_pair.argtypes = [
+            u32p, i32p, u8p, f64p, f32p, i32p, ctypes.c_int64,   # cur match
+            u32p, i32p, u8p, f64p, f32p, ctypes.c_int64,         # adj match
+            f64p, f64p, f64p, ctypes.c_int64,                    # poses, sf
+            ctypes.c_double, ctypes.c_int32,                     # epi, thr
+            f32p, f64p, u8p, f32p, f64p,                         # cur tri
+            f32p, f64p, u8p, f32p, i32p, f64p,                   # adj tri
+            ctypes.c_double, f64p, ctypes.c_double, ctypes.c_double,
+            i64p, i64p, f64p, u8p]
+        lib.match_triangulate_pair.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -414,6 +424,63 @@ def triangulate_pairs(kp_cur, kp_adj, cur_frame, adj_frame,
                           np.ascontiguousarray(sigma2_rel, np.float64),
                           float(rel_thr), float(chi2), pos, ok)
     return pos, ok.astype(bool)
+
+
+def match_triangulate_pair(cur_match, adj_match, pose1, pose2,
+                           scale_factors, epi_thr_deg: float, thr_low: int,
+                           cur_frame, adj_frame,
+                           cos_min: float, sigma2_rel, rel_thr: float,
+                           chi2: float):
+    """Fused createNewMapPoints pair stage: epipolar-gated greedy matching +
+    rotation-consistency vote + gated two-view triangulation in one native
+    call (NumPy twin: matcher.match_for_triangulation followed by
+    triangulate_pairs / _batch_triangulate_pairs).
+
+    ``cur_match``/``adj_match``: (descriptors (n,8) u32, groups (n,) i32,
+    free (n,) u8, bearings (n,3) f64, angles (n,) f32[, octave (n,) i32 —
+    current side only]); ``cur_frame``/``adj_frame``: the triangulation
+    blocks of :func:`triangulate_pairs`. Returns (kp_cur, kp_adj,
+    positions (B,3) f64, ok (B,) bool) or None when unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if cur_frame[-1] is None or adj_frame[-1] is None:
+        return None
+    desc1, groups1, free1, bear1, ang1, oct1 = cur_match
+    desc2, groups2, free2, bear2, ang2 = adj_match
+    n1, n2 = len(desc1), len(desc2)
+    kp_cur = np.empty(max(n1, 1), np.int64)
+    kp_adj = np.empty(max(n1, 1), np.int64)
+    pos = np.zeros((max(n1, 1), 3), np.float64)
+    ok = np.zeros(max(n1, 1), np.uint8)
+    if n1 == 0 or n2 == 0:
+        return kp_cur[:0], kp_adj[:0], pos[:0], ok[:0].astype(bool)
+
+    def c64(a):
+        return np.ascontiguousarray(a, np.float64)
+
+    B = lib.match_triangulate_pair(
+        np.ascontiguousarray(desc1, np.uint32),
+        np.ascontiguousarray(groups1, np.int32),
+        np.ascontiguousarray(free1, np.uint8), c64(bear1),
+        np.ascontiguousarray(ang1, np.float32),
+        np.ascontiguousarray(oct1, np.int32), n1,
+        np.ascontiguousarray(desc2, np.uint32),
+        np.ascontiguousarray(groups2, np.int32),
+        np.ascontiguousarray(free2, np.uint8), c64(bear2),
+        np.ascontiguousarray(ang2, np.float32), n2,
+        c64(pose1), c64(pose2), c64(scale_factors), len(scale_factors),
+        float(epi_thr_deg), np.int32(thr_low),
+        np.ascontiguousarray(cur_frame[2], np.float32), c64(cur_frame[3]),
+        np.ascontiguousarray(cur_frame[4], np.uint8),
+        np.ascontiguousarray(cur_frame[5], np.float32), c64(cur_frame[7]),
+        np.ascontiguousarray(adj_frame[2], np.float32), c64(adj_frame[3]),
+        np.ascontiguousarray(adj_frame[4], np.uint8),
+        np.ascontiguousarray(adj_frame[5], np.float32),
+        np.ascontiguousarray(adj_frame[6], np.int32), c64(adj_frame[7]),
+        float(cos_min), c64(sigma2_rel), float(rel_thr), float(chi2),
+        kp_cur, kp_adj, pos, ok)
+    return kp_cur[:B], kp_adj[:B], pos[:B], ok[:B].astype(bool)
 
 
 def create_random_array(n: int, lo: int, hi: int,

@@ -674,6 +674,121 @@ void triangulate_pairs(
     }
 }
 
+// Fused per-adjacent-pair stage of createNewMapPoints
+// (mapper_helpers.cpp:271-318): essential matrix + per-keypoint epipolar
+// thresholds, epipolar-gated greedy matching (match_triangulation), the
+// rotation-consistency histogram vote (match_angle_checker.h:72-123), and
+// gated two-view triangulation (triangulate_pairs) in ONE host call — the
+// per-pair NumPy glue costs more wall time than the matching itself at
+// ~10 adjacent keyframes per backend keyframe. NumPy twin: the
+// match_for_triangulation + apply_angle_check + triangulate path in
+// pipeline/matcher.py / mapper_helpers.py (kept in lockstep by the
+// cross-check test in tests/test_native_and_misc.py).
+// Returns the surviving match count B; kp_cur/kp_adj/pos_out/ok_out are
+// filled for rows [0, B) (capacity n1).
+int64_t match_triangulate_pair(
+    const uint32_t* desc1, const int32_t* groups1, const uint8_t* free1,
+    const double* bearings1, const float* angles1, const int32_t* oct1,
+    int64_t n1,
+    const uint32_t* desc2, const int32_t* groups2, const uint8_t* free2,
+    const double* bearings2, const float* angles2, int64_t n2,
+    const double* pose1, const double* pose2,   // 3x4 world->camera, f64
+    const double* scale_factors, int64_t n_levels,
+    double epi_thr_deg, int32_t thr_low,
+    const float* depth1, const double* npix1, const uint8_t* nok1,
+    const float* pts1, const double* cam1,
+    const float* depth2, const double* npix2, const uint8_t* nok2,
+    const float* pts2, const int32_t* oct2, const double* cam2,
+    double cos_min, const double* sigma2_rel, double rel_thr, double chi2,
+    int64_t* kp_cur, int64_t* kp_adj, double* pos_out, uint8_t* ok_out) {
+    // E12 = skew(t21) @ rot21 with rot21 = R1 R2^T, t21 = -rot21 t2 + t1
+    // (matcher.py:104 argument order into create_E_21; same summation
+    // order as the NumPy matmuls, -ffp-contract=off build keeps parity)
+    const double* R1 = pose1;          // rows 0..2, cols 0..2; col 3 = t
+    const double* R2 = pose2;
+    double rot21[9];
+    for (int i = 0; i < 3; ++i)
+        for (int j = 0; j < 3; ++j) {
+            double s = 0.0;
+            for (int k = 0; k < 3; ++k)
+                s += R1[4 * i + k] * R2[4 * j + k];
+            rot21[3 * i + j] = s;
+        }
+    double t21[3];
+    for (int i = 0; i < 3; ++i) {
+        double s = 0.0;
+        for (int k = 0; k < 3; ++k) s += rot21[3 * i + k] * pose2[4 * k + 3];
+        t21[i] = -s + pose1[4 * i + 3];
+    }
+    double skewm[9] = {0.0, -t21[2], t21[1],
+                       t21[2], 0.0, -t21[0],
+                       -t21[1], t21[0], 0.0};
+    double E12[9];
+    for (int i = 0; i < 3; ++i)
+        for (int j = 0; j < 3; ++j) {
+            double s = 0.0;
+            for (int k = 0; k < 3; ++k) s += skewm[3 * i + k] * rot21[3 * k + j];
+            E12[3 * i + j] = s;
+        }
+
+    // per-keypoint epipolar gate: sin(radians(thr_deg) * scaleFactor[oct])
+    // (matcher.py:112-113; same op order: radians first, then * scale)
+    const double rad = epi_thr_deg * (3.141592653589793238462643383279502884 / 180.0);
+    std::vector<double> sin_thr(n1);
+    for (int64_t i = 0; i < n1; ++i) {
+        int64_t o = oct1[i];
+        if (o < 0) o = 0;
+        if (o > n_levels - 1) o = n_levels - 1;
+        sin_thr[i] = std::sin(rad * scale_factors[o]);
+    }
+
+    std::vector<int64_t> matched(n1);
+    match_triangulation(desc1, groups1, free1, bearings1, sin_thr.data(), n1,
+                        desc2, groups2, free2, bearings2, n2,
+                        E12, thr_low, matched.data());
+
+    // rotation-consistency vote (ops/matching.angle_check_invalid):
+    // bin = rint(delta * (1/30)) over delta wrapped to [0, 360) — round
+    // half-to-even like np.rint — keep the 3 most-populated of 30 bins
+    // (stable ties: smaller bin id wins)
+    int64_t counts[30] = {0};
+    std::vector<int> bins(n1, -1);
+    for (int64_t i = 0; i < n1; ++i) {
+        if (matched[i] < 0) continue;
+        double d = (double)(angles1[i] - angles2[matched[i]]);  // f32 sub
+        if (d < 0.0) d += 360.0;
+        if (d >= 360.0) d -= 360.0;
+        int b = (int)std::nearbyint(d * (1.0 / 30.0));
+        if (b < 0) b = 0;
+        if (b > 29) b = 29;
+        bins[i] = b;
+        counts[b]++;
+    }
+    int order[30];
+    for (int b = 0; b < 30; ++b) order[b] = b;
+    std::stable_sort(order, order + 30,
+                     [&](int a, int b) { return counts[a] > counts[b]; });
+    bool keep[30] = {false};
+    for (int k = 0; k < 3; ++k) keep[order[k]] = true;
+
+    int64_t B = 0;
+    for (int64_t i = 0; i < n1; ++i) {
+        if (matched[i] < 0 || !keep[bins[i]]) continue;
+        kp_cur[B] = i;
+        kp_adj[B] = matched[i];
+        ++B;
+    }
+    if (B > 0)
+        triangulate_pairs(kp_cur, kp_adj, B,
+                          pose1, bearings1, depth1, npix1, nok1, pts1, oct1,
+                          cam1,
+                          pose2, bearings2, depth2, npix2, nok2, pts2, oct2,
+                          cam2,
+                          cos_min, sigma2_rel, rel_thr, chi2,
+                          pos_out, ok_out);
+    return B;
+}
+
 // ---------------------------------------------------------------------------
 // Deterministic unique random index arrays (reference: random_array.cc:21-62)
 // Thread-local MT19937 with the reference's fixed seed.

@@ -23,6 +23,7 @@ from slam_tpu.map.keyframe import Keyframe, MapperInput
 from slam_tpu.map.map_point import MapPoint, MapPointStatus
 from slam_tpu.map.mapdb import (MapDB, MapKf, MapPointRecord,
                                 MapPointRecordPosition)
+from slam_tpu.ops.hamming import HAMMING_DIST_THR_LOW
 from slam_tpu.params import StaticSettings
 from slam_tpu.pipeline import matcher
 from slam_tpu.pipeline.adjacency import compute_adjacent_keyframes
@@ -657,27 +658,56 @@ def create_new_map_points(current_keyframe: Keyframe,
                   / settings.levelSigmaSq[ref_scale])
     cam_pack_cur = native.pack_camera(current_keyframe.shared.camera)
     cur_frame = None
+    sf64 = np.ascontiguousarray(settings.scaleFactors, np.float64)
+    epi_deg = parameters.epipolarCheckThresholdDegrees
+    cur_sh = current_keyframe.shared
     for kf_id in adjacent_kf_ids:
         if kf_id == current_keyframe.id:
             continue
         keyframe = map_db.keyframes[kf_id]
-        matches = matcher.match_for_triangulation(current_keyframe, keyframe,
-                                                 settings)
-        if len(matches) == 0:
-            continue
         assert keyframe.id < current_keyframe.id  # KfId depth-seeding order
         if cur_frame is None:
             cur_frame = _tri_frame(current_keyframe, cam_pack_cur)
-        res = native.triangulate_pairs(
-            matches[:, 0], matches[:, 1], cur_frame,
-            _tri_frame(keyframe, native.pack_camera(keyframe.shared.camera)),
-            cos_min, sigma2_rel,
-            parameters.relativeReprojectionErrorThreshold, CHI2_INV2D)
-        if res is not None:
-            positions, ok = res
+        # fused native pair stage: matching + rotation vote + gated
+        # triangulation in one call (the per-pair NumPy glue costs more
+        # than the matching at ~10 adjacent keyframes per backend frame)
+        adj_sh = keyframe.shared
+        fused = None
+        if cur_sh.num_keypoints and adj_sh.num_keypoints:
+            adj_frame = _tri_frame(keyframe,
+                                   native.pack_camera(adj_sh.camera))
+            fused = native.match_triangulate_pair(
+                (cur_sh.descriptors, cur_sh.groups,
+                 (current_keyframe.map_points < 0).astype(np.uint8),
+                 cur_sh.bearings, cur_sh.angle, cur_sh.octave),
+                (adj_sh.descriptors, adj_sh.groups,
+                 (keyframe.map_points < 0).astype(np.uint8),
+                 adj_sh.bearings, adj_sh.angle),
+                cur_frame[0], adj_frame[0], sf64, epi_deg,
+                HAMMING_DIST_THR_LOW, cur_frame, adj_frame,
+                cos_min, sigma2_rel,
+                parameters.relativeReprojectionErrorThreshold, CHI2_INV2D)
+        if fused is not None:
+            kpc, kpa, positions, ok = fused
+            if len(kpc) == 0:
+                continue
+            matches = np.stack([kpc, kpa], axis=1)
         else:
-            positions, ok = _batch_triangulate_pairs(
-                current_keyframe, [(keyframe, matches)], settings)
+            matches = matcher.match_for_triangulation(
+                current_keyframe, keyframe, settings)
+            if len(matches) == 0:
+                continue
+            res = native.triangulate_pairs(
+                matches[:, 0], matches[:, 1], cur_frame,
+                _tri_frame(keyframe,
+                           native.pack_camera(keyframe.shared.camera)),
+                cos_min, sigma2_rel,
+                parameters.relativeReprojectionErrorThreshold, CHI2_INV2D)
+            if res is not None:
+                positions, ok = res
+            else:
+                positions, ok = _batch_triangulate_pairs(
+                    current_keyframe, [(keyframe, matches)], settings)
         # update_descriptor on a fresh 2-observation point always resolves to
         # the first full-featured observation's descriptor (obs sorted by
         # KfId: the adjacent keyframe is older); inline that medoid shortcut

@@ -653,3 +653,112 @@ class TestTriangulatePairs:
         assert np.array_equal(ok_nat, ok_np)
         sel = ok_np
         assert np.allclose(pos_nat[sel], pos_np[sel], rtol=0, atol=1e-8)
+
+
+class TestFusedCreatePairStage:
+    """native.match_triangulate_pair must be in lockstep with its NumPy/
+    composite twin (match_for_triangulation + triangulate_pairs), and the
+    end-to-end map built through the fused path must equal the fallback
+    path's bit for bit."""
+
+    def test_fused_equals_composite(self):
+        from synthetic_world import (FakeOrbExtractor, TrackSimulator,
+                                     make_mapper_input, make_world)
+        from slam_tpu import native
+        from slam_tpu.ops.hamming import HAMMING_DIST_THR_LOW
+        from slam_tpu.params import Parameters, ParametersSlam, StaticSettings
+        from slam_tpu.pipeline import matcher
+        from slam_tpu.pipeline.mapper import Mapper
+        from slam_tpu.pipeline.mapper_helpers import CHI2_INV2D, _tri_frame
+
+        if native.get_lib() is None:
+            import pytest
+            pytest.skip("native lib unavailable")
+
+        world = make_world(n_frames=10, n_landmarks=300, seed=3)
+        trk = TrackSimulator(world)
+        p = Parameters(slam=ParametersSlam(
+            keyframeDecisionMinIntervalSeconds=0.0,
+            minVisibleMapPointsInCurrentFrameBA=8, localBAProblemSize=12,
+            adjacentSpaceSize=8, useFrontendSlam=False))
+        m = Mapper(p, orb_extractor=FakeOrbExtractor(world, trk))
+        for i in range(10):
+            m.advance(make_mapper_input(world, i, trk))
+        settings = StaticSettings(p)
+        params = p.slam
+        kfs = sorted(m.map_db.keyframes)
+        cur = m.map_db.keyframes[kfs[-1]]
+        adj = m.map_db.keyframes[kfs[-2]]
+        import numpy as np
+        cos_min = np.cos(np.radians(params.minTriangulationAngleTwoObs))
+        ref_scale = len(settings.scaleFactors) // 2
+        sigma2_rel = (np.asarray(settings.levelSigmaSq, np.float64)
+                      / settings.levelSigmaSq[ref_scale])
+        cam_c = native.pack_camera(cur.shared.camera)
+        cam_a = native.pack_camera(adj.shared.camera)
+        cf = _tri_frame(cur, cam_c)
+        af = _tri_frame(adj, cam_a)
+        fused = native.match_triangulate_pair(
+            (cur.shared.descriptors, cur.shared.groups,
+             (cur.map_points < 0).astype(np.uint8),
+             cur.shared.bearings, cur.shared.angle, cur.shared.octave),
+            (adj.shared.descriptors, adj.shared.groups,
+             (adj.map_points < 0).astype(np.uint8),
+             adj.shared.bearings, adj.shared.angle),
+            cf[0], af[0], np.asarray(settings.scaleFactors, np.float64),
+            params.epipolarCheckThresholdDegrees, HAMMING_DIST_THR_LOW,
+            cf, af, cos_min, sigma2_rel,
+            params.relativeReprojectionErrorThreshold, CHI2_INV2D)
+        assert fused is not None
+        kpc, kpa, pos_f, ok_f = fused
+
+        matches = matcher.match_for_triangulation(cur, adj, settings)
+        assert np.array_equal(np.stack([kpc, kpa], axis=1)
+                              if len(kpc) else np.zeros((0, 2), np.int64),
+                              matches)
+        if len(matches):
+            pos_c, ok_c = native.triangulate_pairs(
+                matches[:, 0], matches[:, 1], cf, af, cos_min, sigma2_rel,
+                params.relativeReprojectionErrorThreshold, CHI2_INV2D)
+            assert np.array_equal(ok_f, ok_c)
+            np.testing.assert_array_equal(pos_f, pos_c)
+
+    def test_e2e_map_identical_to_fallback(self, monkeypatch):
+        from synthetic_world import (FakeOrbExtractor, TrackSimulator,
+                                     make_mapper_input, make_world)
+        from slam_tpu import native
+        from slam_tpu.params import Parameters, ParametersSlam
+        from slam_tpu.pipeline.mapper import Mapper
+        import numpy as np
+
+        def run(disable_fused):
+            if disable_fused:
+                monkeypatch.setattr(native, "match_triangulate_pair",
+                                    lambda *a, **k: None)
+            else:
+                monkeypatch.undo()
+            world = make_world(n_frames=12, n_landmarks=300, seed=5)
+            trk = TrackSimulator(world)
+            p = Parameters(slam=ParametersSlam(
+                keyframeDecisionMinIntervalSeconds=0.0,
+                minVisibleMapPointsInCurrentFrameBA=8,
+                localBAProblemSize=12, adjacentSpaceSize=8,
+                useFrontendSlam=False))
+            m = Mapper(p, orb_extractor=FakeOrbExtractor(world, trk))
+            for i in range(12):
+                m.advance(make_mapper_input(world, i, trk))
+            return m.map_db
+
+        db_a = run(False)
+        db_b = run(True)
+        assert sorted(db_a.keyframes) == sorted(db_b.keyframes)
+        assert sorted(db_a.map_points) == sorted(db_b.map_points)
+        for k in db_a.keyframes:
+            np.testing.assert_array_equal(db_a.keyframes[k].map_points,
+                                          db_b.keyframes[k].map_points)
+            np.testing.assert_array_equal(db_a.keyframes[k].pose_cw,
+                                          db_b.keyframes[k].pose_cw)
+        for mp_id in db_a.map_points:
+            a, b = db_a.map_points[mp_id], db_b.map_points[mp_id]
+            np.testing.assert_array_equal(a.position, b.position)
+            assert a.observations == b.observations
