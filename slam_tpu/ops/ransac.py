@@ -274,7 +274,7 @@ def _horn_sim3_np(s1: np.ndarray, s2: np.ndarray):
     a1_in_2 = R @ a1
     s = (np.sum(a2 * a1_in_2, axis=(1, 2))
          / np.maximum(np.sum(a1 * a1, axis=(1, 2)), 1e-12))
-    t = c2 - s[:, None] * np.einsum("kij,kj->ki", R, c1)
+    t = c2 - s[:, None] * (R @ c1[:, :, None])[:, :, 0]
     return R, t, s
 
 
@@ -298,7 +298,7 @@ def _horn_rot_z_np(s1: np.ndarray, s2: np.ndarray):
     R[:, 2, 2] = 1.0
     s = (np.sum(a2 * (R @ a1), axis=(1, 2))
          / np.maximum(np.sum(a1 * a1, axis=(1, 2)), 1e-12))
-    t = c2 - s[:, None] * np.einsum("kij,kj->ki", R, c1)
+    t = c2 - s[:, None] * (R @ c1[:, :, None])[:, :, 0]
     return R, t, s
 
 
@@ -345,12 +345,14 @@ def sim3_ransac_host(camera1, camera2, pts1_cam, pts2_cam,
         s21 = np.ones_like(s21)
     s12 = 1.0 / np.where(np.abs(s21) > 1e-12, s21, 1e-12)
     R12 = R21.transpose(0, 2, 1)
-    t12 = -s12[:, None] * np.einsum("kij,kj->ki", R12, t21)
+    t12 = -s12[:, None] * (R12 @ t21[:, :, None])[:, :, 0]
 
     K = len(R21)
-    p1_in_2 = (np.einsum("kij,nj->kni", R21 * s21[:, None, None], pts1)
+    # batched BLAS matmuls, not einsum: p @ (sR)^T per hypothesis — einsum
+    # lowers this contraction to a slow generic loop (~15 ms/call measured)
+    p1_in_2 = (pts1[None] @ (R21 * s21[:, None, None]).transpose(0, 2, 1)
                + t21[:, None, :])                          # (K, N, 3)
-    p2_in_1 = (np.einsum("kij,nj->kni", R12 * s12[:, None, None], pts2)
+    p2_in_1 = (pts2[None] @ (R12 * s12[:, None, None]).transpose(0, 2, 1)
                + t12[:, None, :])
     proj1_in_2, v12 = camera2.ray_to_pixel(p1_in_2.reshape(-1, 3))
     proj2_in_1, v21 = camera1.ray_to_pixel(p2_in_1.reshape(-1, 3))

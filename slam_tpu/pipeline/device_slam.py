@@ -51,7 +51,8 @@ import jax
 import jax.numpy as jnp
 
 from slam_tpu.geometry import se3
-from slam_tpu.ops.hamming import HAMMING_DIST_THR_LOW, hamming_matrix_host
+from slam_tpu.native import hamming_matrix as hamming_matrix_native
+from slam_tpu.ops.hamming import HAMMING_DIST_THR_LOW
 from slam_tpu.ops.ransac import sim3_ransac_host
 from slam_tpu.ops.sim3_opt import optimize_sim3_transform_host
 from slam_tpu.pipeline.device_vo import (BatchedDeviceVO, DeviceVOConfig,
@@ -407,7 +408,10 @@ class DeviceSlam:
         if int(fq) != q or int(fc) != c:
             return rej("ring_overwritten")
 
-        dist = hamming_matrix_host(desc_q, desc_c)
+        # native popcount GEMM (NumPy table-lookup fallback inside): the
+        # 192x192 host matrix costs ~9 ms in NumPy vs ~0.2 ms native —
+        # per-attempt host cost is serving-path budget on the 1-core host
+        dist = hamming_matrix_native(desc_q, desc_c)
         i_q, i_c = _mutual_nn_lowe(dist, val_q, val_c, p.lowe_ratio)
         if len(i_q) < p.min_feature_matches:
             return rej("too_few_feature_matches", n_matches=len(i_q))
